@@ -1,0 +1,197 @@
+"""Loss functions (reference ``slowfast/models/losses.py``).
+
+Functional and jit-safe: every loss takes/returns arrays, masked reductions
+replace boolean indexing, and the per-rank ``is_vid`` branch of the reference
+becomes two explicit functions — the engine decides how to weight them
+(reference picks by GPU rank, ``losses.py:119-122``; the TPU engine runs both
+branches in one jitted step weighted by the rank ratio, which reproduces the
+reference's DDP-averaged gradient exactly).
+
+Loss keys match the reference so logs/configs line up:
+``loss_ce, boxes_l1_loss, boxes_bce_loss, boxes_giou_loss,
+loss_contact_state, video_image_desc_l{1,2}_loss``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from svit_tpu.ops import box_ops
+
+
+def cross_entropy(logits, labels):
+    """Mean CE over the batch; labels are int class ids."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    return nll.mean()
+
+
+def soft_target_cross_entropy(logits, soft_targets):
+    """Reference ``SoftTargetCrossEntropy`` (losses.py:173-194)."""
+    loss = jnp.sum(-soft_targets * jax.nn.log_softmax(logits, axis=-1), axis=-1)
+    return loss.mean()
+
+
+def bce_with_logits(logits, targets):
+    """Elementwise binary cross-entropy with logits (no reduction)."""
+    neg_abs = -jnp.abs(logits)
+    return (
+        jnp.maximum(logits, 0.0)
+        - logits * targets
+        + jnp.log1p(jnp.exp(neg_abs))
+    )
+
+
+def boxes_loss(pred, tar):
+    """HAOG box losses (reference ``boxes_loss_``, losses.py:50-93).
+
+    pred: [B, T, O, 5] = (presence-logit, cxcywh); tar: [B, T, O, 4] cxcywh
+    (all-zero rows = absent) or [B, T, O, 5] with a leading score.
+    Returns (l1, bce, giou) scalars.
+    """
+    if tar.shape[-1] == 4:
+        tar_mask = 1.0 - jnp.all(tar == 0, axis=-1).astype(jnp.float32)
+        tar_mask_cont = tar_mask
+    elif tar.shape[-1] == 5:
+        tar_mask_cont = tar[..., 0]
+        tar_mask = (tar[..., 0] > 0.5).astype(jnp.float32)
+        tar = tar[..., 1:]
+    else:
+        raise NotImplementedError("boxes target must have 4 or 5 coords")
+
+    pred_logit = pred[..., 0]
+    loss_bce = bce_with_logits(pred_logit, tar_mask_cont).mean()
+
+    pred_boxes = pred[..., 1:]
+    n_sel = tar_mask.sum()
+    denom = jnp.maximum(n_sel, 1.0)
+
+    l1 = jnp.abs(pred_boxes - tar).mean(axis=-1) * tar_mask
+    loss_l1 = l1.sum() / denom
+
+    giou = box_ops.paired_giou(
+        box_ops.box_cxcywh_to_xyxy(pred_boxes),
+        box_ops.box_cxcywh_to_xyxy(tar),
+    )
+    loss_giou = ((1.0 - giou) * tar_mask).sum() / denom
+
+    has_any = (n_sel > 0).astype(jnp.float32)
+    return loss_l1 * has_any, loss_bce, loss_giou * has_any
+
+
+def contact_state_loss(pred, tar):
+    """Masked CE over contact states (reference ``_haog_loss``, losses.py:148-154).
+
+    pred: [B, T, 2, 5]; tar: [B, 2] int in {-1 (ignore), 0..4}.
+    """
+    pred = pred.reshape(-1, pred.shape[-1])
+    tar = tar.reshape(-1)
+    mask = (tar >= 0).astype(jnp.float32)
+    safe_tar = jnp.maximum(tar, 0)
+    logp = jax.nn.log_softmax(pred, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_tar[:, None], axis=-1)[:, 0]
+    denom = jnp.maximum(mask.sum(), 1.0)
+    return (nll * mask).sum() / denom
+
+
+def consistency_loss(
+    video_obj_desc, frame_obj_desc, kind: str = "l1"
+):
+    """Frame-clip consistency: video object tokens vs per-frame (stop-grad)
+    object tokens (reference ``_consistency_loss``, losses.py:127-136)."""
+    tar = jax.lax.stop_gradient(
+        frame_obj_desc.reshape(video_obj_desc.shape)
+    )
+    if kind == "l1":
+        return jnp.abs(video_obj_desc - tar).mean()
+    if kind == "l2":
+        return jnp.square(video_obj_desc - tar).mean()
+    raise NotImplementedError(kind)
+
+
+def get_lambdas_dict(cfg) -> Dict[str, float]:
+    """Loss weights (reference ``utils/misc.py:412-423``).
+
+    Faithful to the reference, including its quirk: with FORWARD_VIDEO_FRAMES
+    the key added is ``video_image_boxes_l1_loss`` which no loss ever emits —
+    so the consistency term is inert in the shipped config.  Set
+    ``SVIT.CONSISTENCY_LOSS`` to 'l1'/'l2' to actually weight it.
+    """
+    lam = {
+        "loss_ce": 1.0,
+        "boxes_l1_loss": 5.0 * cfg.SVIT.LAMBDA_NODES,
+        "boxes_bce_loss": 1.0 * cfg.SVIT.LAMBDA_NODES,
+        "boxes_giou_loss": 2.0 * cfg.SVIT.LAMBDA_NODES,
+        "loss_contact_state": cfg.SVIT.LAMBDA_EDGES,
+    }
+    if cfg.TRAIN.FORWARD_VIDEO_FRAMES:
+        lam["video_image_boxes_l1_loss"] = cfg.SVIT.LAMBDA_CON
+        kind = cfg.SVIT.CONSISTENCY_LOSS
+        if kind:
+            lam[f"video_image_desc_{kind}_loss"] = cfg.SVIT.LAMBDA_CON
+    return lam
+
+
+class VideoImageLoss:
+    """The combined SViT objective, split into explicit video/image branches."""
+
+    def __init__(self, cfg):
+        self.lambdas = get_lambdas_dict(cfg)
+        self.forward_video_frames = cfg.TRAIN.FORWARD_VIDEO_FRAMES
+        self.consistency_kind = cfg.SVIT.CONSISTENCY_LOSS
+
+    def video_losses(
+        self, logits, labels, extra_preds, frames_extra_preds=None
+    ) -> Dict[str, jax.Array]:
+        ret = {"loss_ce": cross_entropy(logits, labels)}
+        if (
+            self.forward_video_frames
+            and self.consistency_kind
+            and frames_extra_preds is not None
+        ):
+            key = f"video_image_desc_{self.consistency_kind}_loss"
+            ret[key] = consistency_loss(
+                extra_preds["obj_desc"],
+                frames_extra_preds["obj_desc"],
+                self.consistency_kind,
+            )
+        return ret
+
+    def image_losses(self, extra_preds, metadata) -> Dict[str, jax.Array]:
+        l1, bce, giou = boxes_loss(
+            extra_preds["pred_bboxes"], metadata["haog_bboxes"]
+        )
+        return {
+            "boxes_l1_loss": l1,
+            "boxes_bce_loss": bce,
+            "boxes_giou_loss": giou,
+            "loss_contact_state": contact_state_loss(
+                extra_preds["pred_contact_state"], metadata["contact_state"]
+            ),
+        }
+
+    def weighted_sum(self, loss_dict: Dict[str, jax.Array]) -> jax.Array:
+        """Reference train_net.py:124: sum of lambda[k] * loss[k]."""
+        total = 0.0
+        for k, v in loss_dict.items():
+            total = total + self.lambdas[k] * v
+        return total
+
+
+_LOSSES = {
+    "cross_entropy": lambda cfg: cross_entropy,
+    "soft_cross_entropy": lambda cfg: soft_target_cross_entropy,
+    "video_image_loss": VideoImageLoss,
+}
+
+
+def get_loss_func(cfg, state: str = "train"):
+    name = cfg.MODEL.LOSS_FUNC
+    if state == "val" and name == "soft_cross_entropy":
+        name = "cross_entropy"
+    if name not in _LOSSES:
+        raise NotImplementedError(f"Loss {name} is not supported")
+    return _LOSSES[name](cfg)

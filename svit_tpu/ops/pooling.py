@@ -1,0 +1,174 @@
+"""Token-grid pooling primitives for pooled multiscale attention.
+
+TPU-native formulation of the reference ``attention_pool``
+(reference ``slowfast/models/attention.py:13-65``): the token sequence is laid
+out as ``[cls | T*H*W patch tokens | O object tokens]``; only the patch grid is
+spatially pooled, the cls token passes through, and object tokens are handled
+per pooling mode:
+
+- depthwise-conv pooling: the reference broadcasts each object token over the
+  conv kernel window, applies the same depthwise conv, and means the result
+  (``attention.py:45-54``).  Because the conv is linear and its input constant
+  per channel, that whole dance reduces *exactly* to a per-channel scalar
+  multiplier ``m[c] = mean_p(sum of kernel weights at output position p)`` —
+  computed here with a single conv over a ones-tensor instead of B*N*O tiny
+  convs.  This is bit-equivalent in exact arithmetic and removes all dynamic
+  per-object work from the hot path.
+- max/avg pooling: object tokens pass through unchanged (the reference only
+  routes objects through ``pool`` when it is a Conv3d).
+
+Layouts are channels-last (NDHWC) throughout — XLA's native TPU layout.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+Triple = Tuple[int, int, int]
+
+
+def _pad_cfg(kernel: Triple) -> Sequence[Tuple[int, int]]:
+    return [(k // 2, k // 2) for k in kernel]
+
+
+def out_shape(thw: Triple, kernel: Triple, stride: Triple) -> Triple:
+    """Spatial output shape of a pool/conv with padding k//2 (floor mode)."""
+    return tuple(
+        (d + 2 * (k // 2) - k) // s + 1 for d, k, s in zip(thw, kernel, stride)
+    )
+
+
+def depthwise_conv3d(
+    x: jax.Array, kernel: jax.Array, stride: Triple
+) -> jax.Array:
+    """Depthwise 3D conv, NDHWC, padding k//2 each side (torch Conv3d semantics).
+
+    x: [B, T, H, W, C]; kernel: [kT, kH, kW, 1, C] (one filter per channel).
+    """
+    C = x.shape[-1]
+    k = kernel.shape[:3]
+    return lax.conv_general_dilated(
+        x,
+        kernel.astype(x.dtype),
+        window_strides=stride,
+        padding=_pad_cfg(k),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        feature_group_count=C,
+    )
+
+
+def max_pool3d(
+    x: jax.Array, kernel: Triple, stride: Triple
+) -> jax.Array:
+    """MaxPool3d with padding k//2, floor mode (torch ceil_mode=False). NDHWC."""
+    neg_inf = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    return lax.reduce_window(
+        x,
+        neg_inf,
+        lax.max,
+        window_dimensions=(1,) + tuple(kernel) + (1,),
+        window_strides=(1,) + tuple(stride) + (1,),
+        padding=[(0, 0)] + list(_pad_cfg(kernel)) + [(0, 0)],
+    )
+
+
+def avg_pool3d(x: jax.Array, kernel: Triple, stride: Triple) -> jax.Array:
+    """AvgPool3d (count includes zero padding — torch count_include_pad=True default)."""
+    summed = lax.reduce_window(
+        x,
+        jnp.array(0, x.dtype),
+        lax.add,
+        window_dimensions=(1,) + tuple(kernel) + (1,),
+        window_strides=(1,) + tuple(stride) + (1,),
+        padding=[(0, 0)] + list(_pad_cfg(kernel)) + [(0, 0)],
+    )
+    return summed / jnp.prod(jnp.array(kernel)).astype(x.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def conv_obj_multiplier(kernel: jax.Array, stride: Triple) -> jax.Array:
+    """Per-channel multiplier equivalent to the reference's object-token conv.
+
+    Applying a depthwise conv (padding k//2, stride s) to a constant-per-channel
+    input of spatial size (kT,kH,kW) and meaning the outputs multiplies each
+    channel by ``mean_p(sum of weights overlapping position p)`` — which is what
+    this returns, shape [C].
+    """
+    kT, kH, kW, _, C = kernel.shape
+    ones = jnp.ones((1, kT, kH, kW, C), dtype=kernel.dtype)
+    out = depthwise_conv3d(ones, kernel, stride)
+    return out.mean(axis=(1, 2, 3))[0]  # [C]
+
+
+def split_tokens(
+    x: jax.Array, thw: Triple, num_obj: int, has_cls: bool
+):
+    """Split [..., L, C] into (cls [...,1,C] | patches [...,THW,C] | obj [...,O,C])."""
+    T, H, W = thw
+    L = T * H * W
+    start = 1 if has_cls else 0
+    cls_tok = x[..., :start, :]
+    patches = x[..., start : start + L, :]
+    obj = x[..., start + L :, :]
+    assert obj.shape[-2] == num_obj, (
+        f"object token count mismatch: {obj.shape[-2]} != {num_obj}"
+    )
+    return cls_tok, patches, obj
+
+
+def attention_pool(
+    x: jax.Array,
+    thw: Triple,
+    *,
+    mode: str,                       # 'conv' | 'max' | 'avg' | 'none'
+    kernel: Triple = None,
+    stride: Triple = None,
+    conv_kernel: jax.Array = None,   # [kT,kH,kW,1,C] for mode='conv'
+    num_obj: int,
+    has_cls: bool = True,
+    norm: "callable | None" = None,
+):
+    """Pool the patch grid of a token sequence; cls/object tokens per the rules above.
+
+    x: [B, L, C] or [B, N_heads, L, C].  Returns (pooled tokens, new thw).
+    """
+    if mode == "none":
+        return x, thw
+
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[:, None]  # [B, 1, L, C]
+
+    B, N, L, C = x.shape
+    cls_tok, patches, obj = split_tokens(x, thw, num_obj, has_cls)
+
+    T, H, W = thw
+    grid = patches.reshape(B * N, T, H, W, C)
+
+    if mode == "conv":
+        grid = depthwise_conv3d(grid, conv_kernel, stride)
+        mult = conv_obj_multiplier(conv_kernel, stride).astype(x.dtype)
+        obj = obj * mult
+    elif mode == "max":
+        grid = max_pool3d(grid, kernel, stride)
+    elif mode == "avg":
+        grid = avg_pool3d(grid, kernel, stride)
+    else:
+        raise NotImplementedError(f"Unsupported pool mode {mode}")
+
+    new_thw = grid.shape[1:4]
+    grid = grid.reshape(B, N, -1, C)
+
+    parts = ([cls_tok] if has_cls else []) + [grid, obj]
+    out = jnp.concatenate(parts, axis=2)
+    if norm is not None:
+        out = norm(out)
+    if squeeze:
+        out = out[:, 0]
+    return out, tuple(new_thw)
