@@ -1,0 +1,183 @@
+"""jit-compiled train/eval step functions.
+
+The reference's heterogeneous MPMD (7 video GPUs + 1 image GPU,
+``slowfast/datasets/loader.py:186-241``, ``losses.py:119-122``) becomes ONE
+jitted step computing both branches and weighting them by the rank ratio:
+DDP averages gradients over ranks, so
+
+    g_ref = (n_vid * grad(L_video) + n_img * grad(L_image)) / n_ranks
+
+which is exactly ``grad(w_v * L_video + w_i * L_image)`` with
+``w = n / n_ranks``.  All the reference's ``safety_loss`` / ``sum(p)*0``
+DDP-bucket hacks vanish — under jit, unused branches simply contribute zero
+gradient.
+
+The frame-clip consistency forward (reference ``train_net.py:105-110``) is a
+second apply on the clip reshaped to single frames under ``stop_gradient``,
+inside the same compiled graph.
+
+Batches carry a per-sample ``weight`` so global batch sizes that don't divide
+the mesh (the shipped 63+63 recipe on 8 chips) are padded without changing
+any loss value.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+def create_train_state(params, tx) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+    )
+
+
+def make_train_step(
+    model,
+    loss_obj,
+    tx,
+    video_weight: float,
+    image_weight: float,
+    with_image: bool,
+    with_consistency: bool,
+):
+    """Build the fused video+image train step.
+
+    video_batch: {clips [B,T,H,W,3], labels [B], weight [B]}
+    image_batch: {frames [B,1,H,W,3], haog_bboxes [B,1,O,4],
+                  contact_state [B,2], weight [B]} (may be None)
+    """
+
+    def loss_fn(params, video_batch, image_batch, rng):
+        metrics = {}
+        rngs = {"dropout": rng}
+        total = 0.0
+
+        frames_extra = None
+        if with_consistency:
+            clips = video_batch["clips"]
+            B, T = clips.shape[0], clips.shape[1]
+            frames = clips.reshape(B * T, 1, *clips.shape[2:])
+            _, frames_extra = model.apply(
+                {"params": params},
+                frames,
+                deterministic=False,
+                rngs={"dropout": jax.random.fold_in(rng, 1)},
+            )
+            frames_extra = jax.tree.map(jax.lax.stop_gradient, frames_extra)
+            frames_extra = {
+                "obj_desc": frames_extra["obj_desc"].reshape(
+                    B, T, -1, frames_extra["obj_desc"].shape[-1]
+                )
+            }
+
+        logits, extra = model.apply(
+            {"params": params},
+            video_batch["clips"],
+            deterministic=False,
+            rngs=rngs,
+        )
+        vdict = loss_obj.video_losses(
+            logits,
+            video_batch["labels"],
+            extra,
+            frames_extra,
+            video_batch.get("weight"),
+        )
+        total = total + video_weight * loss_obj.weighted_sum(vdict)
+        metrics.update(vdict)
+
+        if with_image and image_batch is not None:
+            _, iextra = model.apply(
+                {"params": params},
+                image_batch["frames"],
+                deterministic=False,
+                rngs={"dropout": jax.random.fold_in(rng, 2)},
+            )
+            idict = loss_obj.image_losses(
+                iextra,
+                {
+                    "haog_bboxes": image_batch["haog_bboxes"],
+                    "contact_state": image_batch["contact_state"],
+                },
+                image_batch.get("weight"),
+            )
+            total = total + image_weight * loss_obj.weighted_sum(idict)
+            metrics.update(idict)
+
+        metrics["loss"] = total
+        return total, metrics
+
+    def train_step(state: TrainState, video_batch, image_batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, video_batch, image_batch, rng
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = TrainState(
+            step=state.step + 1, params=new_params, opt_state=new_opt_state
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, num_classes: int):
+    """Eval: logits (softmax'd — eval head act) + weighted top-1/5 counts."""
+
+    def eval_step(params, batch):
+        logits, extra = model.apply(
+            {"params": params}, batch["clips"], deterministic=True
+        )
+        w = batch.get("weight")
+        if w is None:
+            w = jnp.ones(logits.shape[0], jnp.float32)
+        k1 = min(1, num_classes)
+        k5 = min(5, num_classes)
+        _, top5 = jax.lax.top_k(logits, k5)
+        correct = top5 == batch["labels"][:, None]
+        c1 = (correct[:, :k1].any(axis=1) * w).sum()
+        c5 = (correct.any(axis=1) * w).sum()
+        return {
+            "logits": logits,
+            "top1_correct": c1,
+            "top5_correct": c5,
+            "count": w.sum(),
+        }
+
+    return eval_step
+
+
+def make_test_step(model):
+    """Multi-view test: per-clip softmax scores for host-side ensembling."""
+
+    def test_step(params, batch):
+        logits, _ = model.apply(
+            {"params": params}, batch["clips"], deterministic=True
+        )
+        return logits
+
+    return test_step
+
+
+def check_nan(metrics: Dict[str, Any], extra_msg: str = ""):
+    """Host-side NaN guard (reference ``misc.check_nan_losses``)."""
+    loss = float(metrics["loss"])
+    if not jnp.isfinite(loss):
+        raise RuntimeError(f"ERROR: Got NaN losses: {metrics} {extra_msg}")

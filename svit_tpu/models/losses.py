@@ -22,11 +22,19 @@ import jax.numpy as jnp
 from svit_tpu.ops import box_ops
 
 
-def cross_entropy(logits, labels):
-    """Mean CE over the batch; labels are int class ids."""
+def cross_entropy(logits, labels, weight=None):
+    """Mean CE over the batch; labels are int class ids.
+
+    ``weight`` [B] supports zero-weight padding samples (TPU batches are
+    padded to mesh-divisible sizes; weighted means keep the value identical
+    to the reference's unpadded mean).
+    """
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
-    return nll.mean()
+    safe = jnp.clip(labels, 0, logits.shape[-1] - 1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    if weight is None:
+        return nll.mean()
+    return (nll * weight).sum() / jnp.maximum(weight.sum(), 1.0)
 
 
 def soft_target_cross_entropy(logits, soft_targets):
@@ -45,12 +53,12 @@ def bce_with_logits(logits, targets):
     )
 
 
-def boxes_loss(pred, tar):
+def boxes_loss(pred, tar, weight=None):
     """HAOG box losses (reference ``boxes_loss_``, losses.py:50-93).
 
     pred: [B, T, O, 5] = (presence-logit, cxcywh); tar: [B, T, O, 4] cxcywh
     (all-zero rows = absent) or [B, T, O, 5] with a leading score.
-    Returns (l1, bce, giou) scalars.
+    ``weight`` [B] zero-masks padding samples.  Returns (l1, bce, giou).
     """
     if tar.shape[-1] == 4:
         tar_mask = 1.0 - jnp.all(tar == 0, axis=-1).astype(jnp.float32)
@@ -62,9 +70,16 @@ def boxes_loss(pred, tar):
     else:
         raise NotImplementedError("boxes target must have 4 or 5 coords")
 
-    pred_logit = pred[..., 0]
-    loss_bce = bce_with_logits(pred_logit, tar_mask_cont).mean()
+    if weight is None:
+        weight = jnp.ones(pred.shape[0], pred.dtype)
+    w_sample = weight[:, None, None]
 
+    pred_logit = pred[..., 0]
+    bce = bce_with_logits(pred_logit, tar_mask_cont) * w_sample
+    per_sample_el = tar_mask_cont.shape[1] * tar_mask_cont.shape[2]
+    loss_bce = bce.sum() / jnp.maximum(weight.sum() * per_sample_el, 1.0)
+
+    tar_mask = tar_mask * w_sample
     pred_boxes = pred[..., 1:]
     n_sel = tar_mask.sum()
     denom = jnp.maximum(n_sel, 1.0)
@@ -82,14 +97,18 @@ def boxes_loss(pred, tar):
     return loss_l1 * has_any, loss_bce, loss_giou * has_any
 
 
-def contact_state_loss(pred, tar):
+def contact_state_loss(pred, tar, weight=None):
     """Masked CE over contact states (reference ``_haog_loss``, losses.py:148-154).
 
     pred: [B, T, 2, 5]; tar: [B, 2] int in {-1 (ignore), 0..4}.
     """
+    B = pred.shape[0]
+    per_sample = pred.shape[1] * pred.shape[2]
     pred = pred.reshape(-1, pred.shape[-1])
     tar = tar.reshape(-1)
     mask = (tar >= 0).astype(jnp.float32)
+    if weight is not None:
+        mask = mask * jnp.repeat(weight, per_sample)
     safe_tar = jnp.maximum(tar, 0)
     logp = jax.nn.log_softmax(pred, axis=-1)
     nll = -jnp.take_along_axis(logp, safe_tar[:, None], axis=-1)[:, 0]
@@ -144,9 +163,9 @@ class VideoImageLoss:
         self.consistency_kind = cfg.SVIT.CONSISTENCY_LOSS
 
     def video_losses(
-        self, logits, labels, extra_preds, frames_extra_preds=None
+        self, logits, labels, extra_preds, frames_extra_preds=None, weight=None
     ) -> Dict[str, jax.Array]:
-        ret = {"loss_ce": cross_entropy(logits, labels)}
+        ret = {"loss_ce": cross_entropy(logits, labels, weight)}
         if (
             self.forward_video_frames
             and self.consistency_kind
@@ -160,16 +179,18 @@ class VideoImageLoss:
             )
         return ret
 
-    def image_losses(self, extra_preds, metadata) -> Dict[str, jax.Array]:
+    def image_losses(self, extra_preds, metadata, weight=None) -> Dict[str, jax.Array]:
         l1, bce, giou = boxes_loss(
-            extra_preds["pred_bboxes"], metadata["haog_bboxes"]
+            extra_preds["pred_bboxes"], metadata["haog_bboxes"], weight
         )
         return {
             "boxes_l1_loss": l1,
             "boxes_bce_loss": bce,
             "boxes_giou_loss": giou,
             "loss_contact_state": contact_state_loss(
-                extra_preds["pred_contact_state"], metadata["contact_state"]
+                extra_preds["pred_contact_state"],
+                metadata["contact_state"],
+                weight,
             ),
         }
 

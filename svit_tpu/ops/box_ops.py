@@ -94,18 +94,20 @@ def match_haog(haog: np.ndarray):
     cxcywh conversion then discards it, ``box_ops.py:166``).
     Returns (reordered haog [4,4], contact_state [2] in {-1, 0, 3}).
     """
-    haog = np.asarray(haog, dtype=np.float64)
+    # float32 throughout: the reference computes in torch f32, where
+    # ``1e8 + small`` rounds back to 1e8 — so orderings involving a missing
+    # box always tie and never swap.  float64 would change that behavior.
+    haog = np.asarray(haog, dtype=np.float32)
     centers = haog[:, :2]
-    cost = np.linalg.norm(
-        centers[:2, None, :] - centers[None, 2:, :], axis=-1
-    )  # [2 hands, 2 objects]
+    diff = centers[:2, None, :] - centers[None, 2:, :]
+    cost = np.sqrt(np.sum(diff * diff, axis=-1, dtype=np.float32))
     obj_is_zero = np.all(haog[2:] == 0, axis=-1)
     hand_is_zero = np.all(haog[:2] == 0, axis=-1)
     cost[:, obj_is_zero] = HIGH_COST
     cost[:, hand_is_zero] = HIGH_COST
 
-    ord1 = cost[0, 0] + cost[1, 1]
-    ord2 = cost[0, 1] + cost[1, 0]
+    ord1 = np.float32(cost[0, 0] + cost[1, 1])
+    ord2 = np.float32(cost[0, 1] + cost[1, 0])
     if ord2 < ord1:
         h1, h2, o1, o2 = haog[0], haog[2], haog[1], haog[3]
         haog = np.stack([h1, h2, o2, o1], axis=0)

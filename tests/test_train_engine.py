@@ -1,0 +1,105 @@
+"""End-to-end train/test engine runs on the virtual CPU mesh + fixture data."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from svit_tpu.config import assert_and_infer_cfg, get_cfg
+from tests.fixtures import make_ssv2_fixture
+
+
+def _tiny_cfg(root, out_dir):
+    cfg = get_cfg()
+    cfg.SSV2.DATA_ROOT = root
+    cfg.SSV2.SPLIT = "standard"
+    cfg.TRAIN.DATASET = "ssv2"
+    cfg.TEST.DATASET = "ssv2"
+    cfg.MODEL.MODEL_NAME = "SViT"
+    cfg.MODEL.NUM_CLASSES = 5
+    cfg.MODEL.LOSS_FUNC = "video_image_loss"
+    cfg.MODEL.DROPOUT_RATE = 0.0
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.TRAIN_CROP_SIZE = 32
+    cfg.DATA.TEST_CROP_SIZE = 32
+    cfg.DATA.TRAIN_JITTER_SCALES = [36, 44]
+    cfg.DATA.RANDOM_FLIP = False
+    cfg.AUG.ENABLE = False
+    cfg.MVIT.DEPTH = 2
+    cfg.MVIT.EMBED_DIM = 32
+    cfg.MVIT.NUM_HEADS = 1
+    cfg.MVIT.PATCH_KERNEL = [3, 7, 7]
+    cfg.MVIT.PATCH_STRIDE = [2, 4, 4]
+    cfg.MVIT.PATCH_PADDING = [1, 3, 3]
+    cfg.MVIT.POOL_KVQ_KERNEL = [3, 3, 3]
+    cfg.MVIT.POOL_KV_STRIDE_ADAPTIVE = [1, 2, 2]
+    cfg.MVIT.POOL_Q_STRIDE = [[0, 1, 1, 1], [1, 1, 2, 2]]
+    cfg.MVIT.DIM_MUL = [[1, 2.0]]
+    cfg.MVIT.HEAD_MUL = [[1, 2.0]]
+    cfg.MVIT.REL_POS_SPATIAL = True
+    cfg.MVIT.REL_POS_TEMPORAL = True
+    cfg.MVIT.RESIDUAL_POOLING = True
+    cfg.MVIT.DIM_MUL_IN_ATT = True
+    cfg.MVIT.USE_ABS_POS = False
+    cfg.MVIT.DROPPATH_RATE = 0.0
+    cfg.TRAIN.BATCH_SIZE = 2
+    cfg.TRAIN.EVAL_PERIOD = 1
+    cfg.TRAIN.CHECKPOINT_PERIOD = 1
+    cfg.TRAIN.MIXED_PRECISION = False
+    cfg.TRAIN.FORWARD_VIDEO_FRAMES = False
+    cfg.IMAGE_TRAIN.BATCH_SIZE = 2
+    cfg.IMAGE_TRAIN.GPU_IDS = [1]
+    cfg.NUM_GPUS = 2
+    cfg.SOLVER.MAX_EPOCH = 1
+    cfg.SOLVER.BASE_LR = 1e-4
+    cfg.SOLVER.COSINE_END_LR = 1e-6
+    cfg.SOLVER.OPTIMIZING_METHOD = "adamw"
+    cfg.SOLVER.CLIP_GRAD_L2NORM = 1.0
+    cfg.SOLVER.ZERO_WD_1D_PARAM = True
+    cfg.DATA_LOADER.NUM_WORKERS = 0
+    cfg.LOG_PERIOD = 1
+    cfg.OUTPUT_DIR = out_dir
+    cfg.TPU.MESH_DATA = 2
+    cfg.TPU.MESH_MODEL = 1
+    cfg.TEST.BATCH_SIZE = 4
+    cfg.TEST.NUM_ENSEMBLE_VIEWS = 1
+    cfg.TEST.NUM_SPATIAL_CROPS = 3
+    return assert_and_infer_cfg(cfg)
+
+
+@pytest.fixture(scope="module")
+def tiny_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ssv2")
+    make_ssv2_fixture(str(root))
+    out = tmp_path_factory.mktemp("out")
+    return str(root), str(out)
+
+
+def test_train_one_epoch_and_resume(tiny_env):
+    root, out = tiny_env
+    cfg = _tiny_cfg(root, out)
+
+    from svit_tpu.engine.train import train
+
+    state = train(cfg)
+    assert int(state.step) == 2  # 4 videos / batch 2
+    ckpts = glob.glob(os.path.join(out, "checkpoints", "checkpoint_epoch_*"))
+    assert len(ckpts) == 1
+
+    # resume: second epoch starts from saved state
+    cfg2 = _tiny_cfg(root, out)
+    cfg2.SOLVER.MAX_EPOCH = 2
+    state2 = train(cfg2)
+    assert int(state2.step) == 4
+
+
+def test_multiview_test_engine(tiny_env):
+    root, out = tiny_env
+    cfg = _tiny_cfg(root, os.path.join(out, "test_out"))
+
+    from svit_tpu.engine.test import test as run_test
+
+    stats = run_test(cfg)
+    assert "top1_acc" in stats
+    assert 0.0 <= float(stats["top1_acc"]) <= 100.0
