@@ -92,6 +92,7 @@ class MultiScaleAttention(nn.Module):
     residual_pooling: bool = False
     separate_qkv: bool = False
     drop_rate: float = 0.0
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -142,11 +143,6 @@ class MultiScaleAttention(nn.Module):
                 dtype=self.dtype, name="pool_v",
             )(v, thw)
 
-        # Attention logits in f32 (MXU accumulates f32 from bf16 inputs).
-        attn = jnp.einsum(
-            "bhqc,bhkc->bhqk", q * scale, k, preferred_element_type=jnp.float32
-        )
-
         rp_h = rp_w = rp_t = None
         if self.rel_pos_spatial:
             assert self.input_size[1] == self.input_size[2]
@@ -171,22 +167,47 @@ class MultiScaleAttention(nn.Module):
                 "rel_pos_t", init, (2 * self.input_size[0] - 1, head_dim), jnp.float32
             )
 
-        attn = rel_pos.add_rel_pos_bias(
-            attn,
-            q.astype(jnp.float32),
-            q_shape,
-            k_shape,
-            has_cls=self.has_cls,
-            rel_pos_h=rp_h,
-            rel_pos_w=rp_w,
-            rel_pos_t=rp_t,
-        )
+        if self.use_pallas:
+            # Fused kernel: softmax((q*scale)@K^T + bias) @ V without the
+            # HBM-resident [Nq, Nk] logits (see ops/pallas_attention.py).
+            from svit_tpu.ops import pallas_attention as pa
 
-        attn = nn.softmax(attn, axis=-1).astype(self.dtype)
-        x = jnp.einsum(
-            "bhqk,bhkc->bhqc", attn, v.astype(self.dtype),
-            preferred_element_type=jnp.float32,
-        ).astype(self.dtype)
+            Nq, Nk = q.shape[2], k.shape[2]
+            bias_src, scatter = pa.build_bias_inputs(
+                q, q_shape, k_shape, Nk,
+                has_cls=self.has_cls,
+                rel_pos_h=rp_h, rel_pos_w=rp_w, rel_pos_t=rp_t,
+            )
+            heads = self.num_heads
+            out = pa.fused_attention(
+                (q * scale).reshape(B * heads, Nq, head_dim),
+                k.reshape(B * heads, Nk, head_dim),
+                v.reshape(B * heads, Nk, head_dim),
+                bias_src,
+                scatter,
+            )
+            x = out.reshape(B, heads, Nq, head_dim).astype(self.dtype)
+        else:
+            # XLA path: logits in f32 (MXU accumulates f32 from bf16 inputs).
+            attn = jnp.einsum(
+                "bhqc,bhkc->bhqk", q * scale, k,
+                preferred_element_type=jnp.float32,
+            )
+            attn = rel_pos.add_rel_pos_bias(
+                attn,
+                q.astype(jnp.float32),
+                q_shape,
+                k_shape,
+                has_cls=self.has_cls,
+                rel_pos_h=rp_h,
+                rel_pos_w=rp_w,
+                rel_pos_t=rp_t,
+            )
+            attn = nn.softmax(attn, axis=-1).astype(self.dtype)
+            x = jnp.einsum(
+                "bhqk,bhkc->bhqc", attn, v.astype(self.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype)
 
         if self.residual_pooling:
             # Reference attention.py:455-459: add pooled q to all but the cls row.
@@ -226,6 +247,7 @@ class MultiScaleBlock(nn.Module):
     residual_pooling: bool = False
     dim_mul_in_att: bool = False
     separate_qkv: bool = False
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -252,6 +274,7 @@ class MultiScaleBlock(nn.Module):
             residual_pooling=self.residual_pooling,
             separate_qkv=self.separate_qkv,
             drop_rate=self.drop_rate,
+            use_pallas=self.use_pallas,
             dtype=self.dtype,
             name="attn",
         )(x_norm, thw, deterministic=deterministic)

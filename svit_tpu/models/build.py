@@ -27,11 +27,22 @@ def compute_dtype(cfg):
     return jnp.float32
 
 
-def build_model(cfg, dtype=None):
+def _tpu_backend() -> bool:
+    import jax
+
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:
+        return False
+
+
+def build_model(cfg, dtype=None, use_pallas=None):
     """Return (module, arch) for cfg.MODEL.MODEL_NAME."""
     name = cfg.MODEL.MODEL_NAME
     model_cls = MODEL_REGISTRY.get(name)
     arch = SViTArch.from_cfg(cfg)
     if dtype is None:
         dtype = compute_dtype(cfg)
-    return model_cls(arch=arch, dtype=dtype), arch
+    if use_pallas is None:
+        use_pallas = bool(cfg.TPU.USE_PALLAS_ATTENTION) and _tpu_backend()
+    return model_cls(arch=arch, dtype=dtype, use_pallas=use_pallas), arch

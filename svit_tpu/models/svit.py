@@ -296,6 +296,11 @@ class SViT(nn.Module):
 
     arch: SViTArch
     dtype: jnp.dtype = jnp.float32
+    # Route attention through the fused Pallas kernel (TPU backends only).
+    use_pallas: bool = False
+    # Adds zero-valued flax 'perturbations' after each block so Grad-CAM can
+    # read d(score)/d(activation) (see svit_tpu/visualization/gradcam.py).
+    capture_gradcam: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -415,9 +420,12 @@ class SViT(nn.Module):
                 residual_pooling=arch.residual_pooling,
                 dim_mul_in_att=arch.dim_mul_in_att,
                 separate_qkv=arch.separate_qkv,
+                use_pallas=self.use_pallas,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x, thw, deterministic)
+            if self.capture_gradcam:
+                x = self.perturb(f"blocks_{i}_out", x)
 
         x = LayerNorm(dtype=self.dtype, name="norm")(x)
 

@@ -1,0 +1,212 @@
+"""Fused pooled-attention kernel (Pallas/TPU).
+
+The SViT attention after KV pooling has a short key axis (Nk <= ~1.6k for
+the SSv2 recipe) and a long query axis (up to 25k tokens at the stem).  The
+XLA path materializes the f32 ``[B, h, Nq, Nk]`` logits in HBM several times
+(QK write, bias add, softmax passes) — the dominant cost of the whole model.
+
+This kernel keeps everything in VMEM per q-tile:
+
+    logits = (q_tile @ K^T) + bias_tile @ M      (MXU, f32 accum)
+    out    = softmax(logits) @ V                 (one pass, no HBM attn)
+
+where the decomposed rel-pos bias enters through a tiny matmul trick: the
+per-query bias components over (kT | kH | kW | mask) are stacked into
+``bias_src [BH, Nq, R]`` and scattered across the key axis by a constant
+one-hot matrix ``M [R, Nk_pad]`` built on the host (padding columns get
+-inf through the mask channel, so padded keys never receive weight).
+
+Forward-only as a primitive; ``fused_attention`` wires a custom VJP whose
+backward recomputes through the reference XLA formulation (flash-style
+recomputation — no [Nq, Nk] residuals are ever stored).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.lru_cache(maxsize=None)
+def _scatter_matrix(
+    k_shape: Tuple[int, int, int], n_k: int, n_k_pad: int, sp: int
+) -> np.ndarray:
+    """[R, Nk_pad] one-hot map; R = kT + kH + kW + 1 (mask channel)."""
+    k_t, k_h, k_w = k_shape
+    R = k_t + k_h + k_w + 1
+    M = np.zeros((R, n_k_pad), np.float32)
+    k_l = k_t * k_h * k_w
+    grid = np.arange(k_l)
+    cols = sp + grid
+    M[grid // (k_h * k_w), cols] = 1.0
+    M[k_t + (grid // k_w) % k_h, cols] = 1.0
+    M[k_t + k_h + grid % k_w, cols] = 1.0
+    # mask channel: -inf on padding columns (bias_src channel fixed at 1)
+    M[R - 1, n_k:] = NEG_INF
+    return M
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, m_ref, o_ref):
+    """One q-tile: q [1, Tq, d], k/v [1, Nk, d], bias [1, Tq, R], m [R, Nk]."""
+    q = q_ref[0]
+    k = k_ref[0]
+    logits = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    logits += jnp.dot(
+        bias_ref[0], m_ref[...], preferred_element_type=jnp.float32
+    )
+    mx = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - mx)
+    s = jnp.sum(p, axis=-1, keepdims=True)
+    out = jnp.dot(
+        p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
+    )
+    o_ref[0] = (out / s).astype(o_ref.dtype)
+
+
+def pooled_attention(
+    q: jax.Array,          # [BH, Nq, d] (already scaled)
+    k: jax.Array,          # [BH, Nk, d]
+    v: jax.Array,          # [BH, Nk, d]
+    bias_src: jax.Array,   # [BH, Nq, R] f32 (last channel == 1.0)
+    scatter: jax.Array,    # [R, Nk_pad] f32
+    *,
+    q_tile: int = 512,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    BH, Nq, d = q.shape
+    Nk = k.shape[1]
+    Nk_pad = scatter.shape[1]
+    R = bias_src.shape[2]
+
+    Nq_pad = _round_up(Nq, q_tile)
+    if Nq_pad != Nq:
+        q = jnp.pad(q, ((0, 0), (0, Nq_pad - Nq), (0, 0)))
+        bias_src = jnp.pad(bias_src, ((0, 0), (0, Nq_pad - Nq), (0, 0)))
+    if Nk_pad != Nk:
+        k = jnp.pad(k, ((0, 0), (0, Nk_pad - Nk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, Nk_pad - Nk), (0, 0)))
+
+    grid = (BH, Nq_pad // q_tile)
+    out = pl.pallas_call(
+        _attn_kernel,
+        out_shape=jax.ShapeDtypeStruct((BH, Nq_pad, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, q_tile, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, Nk_pad, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, Nk_pad, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, q_tile, R), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((R, Nk_pad), lambda b, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, q_tile, d), lambda b, i: (b, i, 0)),
+        interpret=interpret,
+    )(q, k, v, bias_src, scatter)
+    return out[:, :Nq]
+
+
+def _reference_attention(q, k, v, bias_src, scatter):
+    """XLA formulation with identical semantics (used for VJP recompute and
+    as the non-TPU fallback)."""
+    logits = jnp.einsum(
+        "bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32
+    )
+    logits = logits + jnp.einsum(
+        "bqr,rk->bqk", bias_src, scatter[:, : k.shape[1]],
+        preferred_element_type=jnp.float32,
+    )
+    p = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum(
+        "bqk,bkd->bqd", p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).astype(q.dtype)
+
+
+@jax.custom_vjp
+def fused_attention(q, k, v, bias_src, scatter):
+    return pooled_attention(q, k, v, bias_src, scatter)
+
+
+def _fwd(q, k, v, bias_src, scatter):
+    return pooled_attention(q, k, v, bias_src, scatter), (q, k, v, bias_src, scatter)
+
+
+def _bwd(res, g):
+    q, k, v, bias_src, scatter = res
+    _, vjp = jax.vjp(_reference_attention, q, k, v, bias_src, scatter)
+    dq, dk, dv, dbias, _ = vjp(g)
+    return dq, dk, dv, dbias, None
+
+
+fused_attention.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Bias-source construction (shared by kernel and fallback)
+# ---------------------------------------------------------------------------
+
+def build_bias_inputs(
+    q: jax.Array,                 # [B, h, Nq, d]
+    q_shape: Tuple[int, int, int],
+    k_shape: Tuple[int, int, int],
+    n_k: int,
+    *,
+    has_cls: bool,
+    rel_pos_h: Optional[jax.Array],
+    rel_pos_w: Optional[jax.Array],
+    rel_pos_t: Optional[jax.Array],
+    q_tile: int = 512,
+):
+    """Assemble (bias_src [B*h, Nq, R], scatter [R, Nk_pad])."""
+    from svit_tpu.ops import rel_pos as rp
+
+    B, h, Nq, d = q.shape
+    sp = 1 if has_cls else 0
+    q_t, q_h, q_w = q_shape
+    k_t, k_h, k_w = k_shape
+    q_l = q_t * q_h * q_w
+    n_k_pad = _round_up(n_k, 128)
+
+    r_q = q[:, :, sp : sp + q_l].reshape(B, h, q_t, q_h, q_w, d).astype(jnp.float32)
+    terms = []
+    if rel_pos_t is not None:
+        rel_t = rp.temporal_bias_term(r_q, q_shape, k_shape, rel_pos_t)
+        terms.append(rel_t.reshape(B, h, q_l, k_t))
+    else:
+        terms.append(jnp.zeros((B, h, q_l, k_t), jnp.float32))
+    if rel_pos_h is not None:
+        rel_h, rel_w = rp.spatial_bias_terms(
+            r_q, q_shape, k_shape, rel_pos_h, rel_pos_w
+        )
+        terms.append(rel_h.reshape(B, h, q_l, k_h))
+        terms.append(rel_w.reshape(B, h, q_l, k_w))
+    else:
+        terms.append(jnp.zeros((B, h, q_l, k_h), jnp.float32))
+        terms.append(jnp.zeros((B, h, q_l, k_w), jnp.float32))
+
+    bias = jnp.concatenate(terms, axis=-1)
+    # pad query axis (cls/objects rows -> zero bias) + the mask channel of 1s
+    bias = jnp.pad(bias, ((0, 0), (0, 0), (sp, Nq - sp - q_l), (0, 0)))
+    ones = jnp.ones(bias.shape[:-1] + (1,), jnp.float32)
+    bias_src = jnp.concatenate([bias, ones], axis=-1).reshape(B * h, Nq, -1)
+
+    scatter = jnp.asarray(
+        _scatter_matrix(tuple(k_shape), n_k, n_k_pad, sp)
+    )
+    return bias_src, scatter

@@ -1,0 +1,116 @@
+"""Fused attention kernel vs XLA reference (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from svit_tpu.ops import pallas_attention as pa
+
+
+def _inputs(BH=2, Nq=300, kshape=(2, 4, 4), d=32, n_obj=8, seed=0):
+    rng = np.random.RandomState(seed)
+    sp = 1
+    Nk = sp + int(np.prod(kshape)) + n_obj
+    q = jnp.asarray(rng.randn(BH, Nq, d).astype(np.float32) * 0.2)
+    k = jnp.asarray(rng.randn(BH, Nk, d).astype(np.float32) * 0.2)
+    v = jnp.asarray(rng.randn(BH, Nk, d).astype(np.float32) * 0.2)
+    R = sum(kshape) + 1
+    bias = rng.randn(BH, Nq, R).astype(np.float32) * 0.2
+    bias[..., -1] = 1.0
+    scatter = jnp.asarray(
+        pa._scatter_matrix(kshape, Nk, pa._round_up(Nk, 128), sp)
+    )
+    return q, k, v, jnp.asarray(bias), scatter
+
+
+def test_kernel_matches_reference():
+    q, k, v, bias, scatter = _inputs()
+    ref = pa._reference_attention(q, k, v, bias, scatter)
+    out = pa.pooled_attention(q, k, v, bias, scatter, q_tile=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_kernel_unaligned_nq():
+    q, k, v, bias, scatter = _inputs(Nq=131)
+    ref = pa._reference_attention(q, k, v, bias, scatter)
+    out = pa.pooled_attention(q, k, v, bias, scatter, q_tile=128)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_custom_vjp_gradient():
+    q, k, v, bias, scatter = _inputs(Nq=128)
+
+    def loss_fused(q, k, v, bias):
+        return (pa.fused_attention(q, k, v, bias, scatter) ** 2).sum()
+
+    def loss_ref(q, k, v, bias):
+        return (pa._reference_attention(q, k, v, bias, scatter) ** 2).sum()
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_scatter_matrix_structure():
+    kshape = (2, 3, 3)
+    sp = 1
+    Nk = sp + 18 + 4
+    M = pa._scatter_matrix(kshape, Nk, pa._round_up(Nk, 128), sp)
+    # each patch column gets exactly one 1 from each of the t/h/w groups
+    k_l = 18
+    cols = M[:-1, sp : sp + k_l]
+    assert (cols.sum(axis=0) == 3).all()
+    # cls and object columns get no bias
+    assert (M[:-1, :sp] == 0).all()
+    assert (M[:-1, sp + k_l : Nk] == 0).all()
+    # padding columns are masked to -inf via the mask channel
+    assert (M[-1, Nk:] == pa.NEG_INF).all()
+    assert (M[-1, :Nk] == 0).all()
+
+
+def test_model_pallas_path_matches_xla():
+    """Full tiny model: use_pallas (interpret) vs XLA path."""
+    from svit_tpu.models import build_model
+
+    cfg = _make_cfg()
+    m_x, arch = build_model(cfg, use_pallas=False)
+    m_p, _ = build_model(cfg, use_pallas=True)
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(1, 4, 32, 32, 3).astype(np.float32)
+    )
+    params = m_x.init({"params": jax.random.PRNGKey(0)}, x, deterministic=True)
+    lx, ex = m_x.apply(params, x, deterministic=True)
+    lp, ep = m_p.apply(params, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(lx), np.asarray(lp), atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(ex["pred_bboxes"]), np.asarray(ep["pred_bboxes"]), atol=5e-4
+    )
+
+
+def _make_cfg():
+    from svit_tpu.config import get_cfg
+
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "SViT"
+    cfg.MODEL.NUM_CLASSES = 5
+    cfg.MODEL.DROPOUT_RATE = 0.0
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.TRAIN_CROP_SIZE = cfg.DATA.TEST_CROP_SIZE = 32
+    cfg.MVIT.DEPTH = 2
+    cfg.MVIT.EMBED_DIM = 32
+    cfg.MVIT.PATCH_PADDING = [1, 3, 3]
+    cfg.MVIT.POOL_KVQ_KERNEL = [3, 3, 3]
+    cfg.MVIT.POOL_KV_STRIDE_ADAPTIVE = [1, 2, 2]
+    cfg.MVIT.POOL_Q_STRIDE = [[0, 1, 1, 1], [1, 1, 2, 2]]
+    cfg.MVIT.DIM_MUL = [[1, 2.0]]
+    cfg.MVIT.HEAD_MUL = [[1, 2.0]]
+    cfg.MVIT.REL_POS_SPATIAL = True
+    cfg.MVIT.REL_POS_TEMPORAL = True
+    cfg.MVIT.USE_ABS_POS = False
+    cfg.MVIT.DROPPATH_RATE = 0.0
+    cfg.TRAIN.MIXED_PRECISION = False
+    return cfg
