@@ -6,22 +6,25 @@ sharded over the ``data`` mesh axis, gradients reduce over ICI inside the
 compiled step.  The reference's per-GPU process spawn, DDP wrap, GradScaler
 and gloo-pickle metric gathers have no TPU counterpart — bf16 needs no loss
 scaling, and metrics come back as device scalars.
+
+Multigrid long-cycle support mirrors the reference's trainer rebuild on
+shape change (``train_net.py:541-564``): new loaders + a re-jit of the step
+at the new (B, T, S), parameters carried over with shape-filtered merge.
 """
 
 from __future__ import annotations
 
-import math
 import pprint
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from svit_tpu.config.defaults import num_image_ranks, num_video_ranks
+from svit_tpu.config.defaults import num_image_ranks
 from svit_tpu.data import construct_loader, shuffle_dataset
 from svit_tpu.engine import meters as meters_lib
 from svit_tpu.engine import steps
+from svit_tpu.engine.multigrid import MultigridSchedule
 from svit_tpu.models import build_model, losses
 from svit_tpu.models.optimizer import construct_optimizer
 from svit_tpu.parallel import mesh as meshlib
@@ -32,58 +35,102 @@ from svit_tpu.utils.lr_policy import get_lr_at_epoch
 logger = logging.get_logger(__name__)
 
 
+class Trainer:
+    """Everything that depends on the current (B, T, S) shape."""
+
+    def __init__(self, cfg, mesh):
+        self.cfg = cfg
+        self.mesh = mesh
+        mesh_data = mesh.shape["data"]
+
+        self.model, self.arch = build_model(cfg)
+        self.loss_obj = losses.get_loss_func(cfg)
+        self.train_loader, self.image_loader = construct_loader(
+            cfg, "train", mesh_data
+        )
+        self.val_loader = construct_loader(cfg, "val", mesh_data)
+        self.steps_per_epoch = len(self.train_loader)
+        self.tx, self.schedule = construct_optimizer(cfg, self.steps_per_epoch)
+
+        self.with_image = self.image_loader is not None
+        w_i = (
+            num_image_ranks(cfg) / max(cfg.NUM_GPUS, 1) if self.with_image else 0.0
+        )
+        with_consistency = bool(
+            cfg.TRAIN.FORWARD_VIDEO_FRAMES and cfg.SVIT.CONSISTENCY_LOSS
+        )
+
+        S, T = cfg.DATA.TRAIN_CROP_SIZE, cfg.DATA.NUM_FRAMES
+        self.example_input = jnp.zeros((1, T, S, S, 3), jnp.float32)
+
+        abstract = jax.eval_shape(self._init_fn)
+        self.param_shardings = meshlib.param_sharding(mesh, abstract["params"])
+        self.abstract_params = abstract["params"]
+
+        self.step_jit = jax.jit(
+            steps.make_train_step(
+                self.model, self.loss_obj, self.tx,
+                video_weight=1.0 - w_i, image_weight=w_i,
+                with_image=self.with_image, with_consistency=with_consistency,
+            ),
+            donate_argnums=(0,),
+        )
+        nc = self.arch.num_classes if isinstance(self.arch.num_classes, int) else 0
+        self.eval_jit = jax.jit(steps.make_eval_step(self.model, nc))
+        self.data_sh = meshlib.data_sharding(mesh)
+
+    def _init_fn(self):
+        return self.model.init(
+            {"params": jax.random.PRNGKey(self.cfg.RNG_SEED)},
+            self.example_input,
+            deterministic=True,
+        )
+
+    def init_params(self):
+        return jax.jit(
+            lambda: self._init_fn()["params"], out_shardings=self.param_shardings
+        )()
+
+    def fresh_state(self):
+        return steps.create_train_state(self.init_params(), self.tx)
+
+    def carry_over_state(self, old_state) -> steps.TrainState:
+        """Shape-filtered parameter transfer on multigrid shape change."""
+        target = jax.device_get(self.init_params())
+        merged = cu.shape_filtered_merge(target, jax.device_get(old_state.params))
+        params = jax.device_put(merged, self.param_shardings)
+        state = steps.create_train_state(params, self.tx)
+        return steps.TrainState(
+            step=old_state.step, params=state.params, opt_state=state.opt_state
+        )
+
+
 def train(cfg):
-    """Full training loop with eval + checkpointing."""
     np.random.seed(cfg.RNG_SEED)
     logging.setup_logging(cfg.OUTPUT_DIR)
     logger.info("Train with config:")
     logger.info(pprint.pformat(cfg.to_dict()))
 
+    multigrid = None
+    if cfg.MULTIGRID.LONG_CYCLE or cfg.MULTIGRID.SHORT_CYCLE:
+        multigrid = MultigridSchedule()
+        cfg = multigrid.init_multigrid(cfg)
+
     mesh = meshlib.build_mesh(cfg)
-    mesh_data = mesh.shape["data"]
 
-    model, arch = build_model(cfg)
-    loss_obj = losses.get_loss_func(cfg)
-
-    train_loader, image_loader = construct_loader(cfg, "train", mesh_data)
-    val_loader = construct_loader(cfg, "val", mesh_data)
-    steps_per_epoch = len(train_loader)
-
-    tx, schedule = construct_optimizer(cfg, steps_per_epoch)
-
-    with_image = image_loader is not None
-    w_i = num_image_ranks(cfg) / max(cfg.NUM_GPUS, 1) if with_image else 0.0
-    w_v = 1.0 - w_i
-    with_consistency = bool(
-        cfg.TRAIN.FORWARD_VIDEO_FRAMES and cfg.SVIT.CONSISTENCY_LOSS
-    )
-
-    S, T = cfg.DATA.TRAIN_CROP_SIZE, cfg.DATA.NUM_FRAMES
-    x0 = jnp.zeros((1, T, S, S, 3), jnp.float32)
+    profile_dir = cfg.TPU.PROFILE_DIR
 
     with mesh:
-        abstract = jax.eval_shape(
-            lambda: model.init(
-                {"params": jax.random.PRNGKey(cfg.RNG_SEED)}, x0, deterministic=True
-            )
-        )
-        shardings = meshlib.param_sharding(mesh, abstract["params"])
-        params = jax.jit(
-            lambda: model.init(
-                {"params": jax.random.PRNGKey(cfg.RNG_SEED)}, x0, deterministic=True
-            )["params"],
-            out_shardings=shardings,
-        )()
-        state = steps.create_train_state(params, tx)
+        trainer = Trainer(cfg, mesh)
+        state = trainer.fresh_state()
 
-        # -- checkpoint / warm start ----------------------------------------
         start_epoch = 0
         last = cu.get_last_checkpoint(cfg.OUTPUT_DIR) if cfg.TRAIN.AUTO_RESUME else None
         if last:
             restored, epoch = cu.load_train_state(last, state)
             state = steps.TrainState(
                 step=jnp.asarray(restored["step"], jnp.int32),
-                params=jax.device_put(restored["params"], shardings),
+                params=jax.device_put(restored["params"], trainer.param_shardings),
                 opt_state=restored["opt_state"],
             )
             start_epoch = epoch + 1
@@ -93,44 +140,63 @@ def train(cfg):
             merged = cu.shape_filtered_merge(
                 jax.device_get(state.params), loaded["params"]
             )
-            state = state.replace(params=jax.device_put(merged, shardings))
-            if not cfg.TRAIN.CHECKPOINT_EPOCH_RESET:
-                start_epoch = 0  # reference reads epoch from torch ckpt; reset default
-            logger.info(
-                "Warm-started from %s", cfg.TRAIN.CHECKPOINT_FILE_PATH
+            state = state.replace(
+                params=jax.device_put(merged, trainer.param_shardings)
             )
+            logger.info("Warm-started from %s", cfg.TRAIN.CHECKPOINT_FILE_PATH)
+        elif cfg.MODEL.LOAD_IN_PRETRAIN:
+            # timm-style image pretrain (reference models/build.py:41-56)
+            from svit_tpu.utils import converter
 
-        train_step = steps.make_train_step(
-            model, loss_obj, tx,
-            video_weight=w_v, image_weight=w_i,
-            with_image=with_image, with_consistency=with_consistency,
-        )
-        step_jit = jax.jit(train_step, donate_argnums=(0,))
-        eval_step = steps.make_eval_step(
-            model,
-            arch.num_classes if isinstance(arch.num_classes, int) else 0,
-        )
-        eval_jit = jax.jit(eval_step)
+            arch = trainer.arch
+            torch_state = converter.load_timm_pretrained(
+                cfg.MODEL.LOAD_IN_PRETRAIN,
+                num_patches=arch.patch_dims[1] * arch.patch_dims[2],
+                patch_kernel_t=arch.patch_kernel[0],
+                patch_kernel_hw=arch.patch_kernel[1:],
+                num_classes=(
+                    arch.num_classes if isinstance(arch.num_classes, int) else -1
+                ),
+            )
+            loaded = converter.torch_to_flax(torch_state)
+            merged = cu.shape_filtered_merge(
+                jax.device_get(state.params), loaded["params"]
+            )
+            state = state.replace(
+                params=jax.device_put(merged, trainer.param_shardings)
+            )
+            logger.info("Loaded image pretrain %s", cfg.MODEL.LOAD_IN_PRETRAIN)
 
-        data_sh = meshlib.data_sharding(mesh)
         rng = jax.random.PRNGKey(cfg.RNG_SEED)
-
-        train_meter = meters_lib.TrainMeter(steps_per_epoch, cfg)
-        val_meter = meters_lib.ValMeter(len(val_loader), cfg)
+        train_meter = meters_lib.TrainMeter(trainer.steps_per_epoch, cfg)
+        val_meter = meters_lib.ValMeter(len(trainer.val_loader), cfg)
         epoch_timer = meters_lib.EpochTimer()
 
         for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
-            shuffle_dataset((train_loader, image_loader), cur_epoch)
+            if multigrid is not None and multigrid.schedule is not None:
+                cfg, changed = multigrid.update_long_cycle(cfg, cur_epoch)
+                if changed:
+                    trainer = Trainer(cfg, mesh)
+                    state = trainer.carry_over_state(state)
+                    train_meter = meters_lib.TrainMeter(trainer.steps_per_epoch, cfg)
+                    val_meter = meters_lib.ValMeter(len(trainer.val_loader), cfg)
+
+            shuffle_dataset((trainer.train_loader, trainer.image_loader), cur_epoch)
             epoch_timer.epoch_tic()
-            train_epoch(
-                cfg, step_jit, state_box := [state], train_loader, image_loader,
-                train_meter, cur_epoch, data_sh, rng, steps_per_epoch,
+            if profile_dir and cur_epoch == start_epoch:
+                jax.profiler.start_trace(profile_dir)
+            state = train_epoch(
+                cfg, trainer, state, train_meter, cur_epoch, rng
             )
-            state = state_box[0]
+            if profile_dir and cur_epoch == start_epoch:
+                jax.profiler.stop_trace()
             epoch_timer.epoch_toc()
             logger.info(
-                "Epoch %d took %.2fs (avg %.2fs)",
-                cur_epoch, epoch_timer.last_epoch_time(), epoch_timer.avg_epoch_time(),
+                "Epoch %d took %.2fs (avg %.2fs, median %.2fs)",
+                cur_epoch,
+                epoch_timer.last_epoch_time(),
+                epoch_timer.avg_epoch_time(),
+                epoch_timer.median_epoch_time(),
             )
 
             if cu.is_checkpoint_epoch(cfg, cur_epoch):
@@ -138,61 +204,57 @@ def train(cfg):
             if (cur_epoch + 1) % cfg.TRAIN.EVAL_PERIOD == 0 or (
                 cur_epoch + 1 == cfg.SOLVER.MAX_EPOCH
             ):
-                eval_epoch(
-                    cfg, eval_jit, state, val_loader, val_meter, cur_epoch, data_sh
-                )
+                eval_epoch(cfg, trainer, state, val_meter, cur_epoch)
     return state
 
 
-def train_epoch(
-    cfg, step_jit, state_box, train_loader, image_loader, train_meter,
-    cur_epoch, data_sh, rng, steps_per_epoch,
-):
-    state = state_box[0]
-    image_iter = iter(image_loader) if image_loader is not None else None
+def train_epoch(cfg, trainer, state, train_meter, cur_epoch, rng):
+    image_iter = (
+        iter(trainer.image_loader) if trainer.image_loader is not None else None
+    )
     train_meter.iter_tic()
-    for cur_iter, video_batch in enumerate(train_loader):
+    for cur_iter, video_batch in enumerate(trainer.train_loader):
         image_batch = None
         if image_iter is not None:
             try:
                 image_batch = next(image_iter)
             except StopIteration:
-                image_iter = iter(image_loader)
+                image_iter = iter(trainer.image_loader)
                 image_batch = next(image_iter)
             image_batch = {
                 k: image_batch[k]
                 for k in ("frames", "haog_bboxes", "contact_state", "weight")
             }
+            image_batch = jax.device_put(image_batch, trainer.data_sh)
         vb = {k: video_batch[k] for k in ("clips", "labels", "weight")}
-        vb = jax.device_put(vb, data_sh)
-        if image_batch is not None:
-            image_batch = jax.device_put(image_batch, data_sh)
+        vb = jax.device_put(vb, trainer.data_sh)
         train_meter.data_toc()
 
-        state, metrics = step_jit(state, vb, image_batch, rng)
+        state, metrics = trainer.step_jit(state, vb, image_batch, rng)
         metrics = jax.device_get(metrics)
         steps.check_nan(metrics)
 
-        lr = get_lr_at_epoch(cfg, cur_epoch + cur_iter / steps_per_epoch)
+        lr = get_lr_at_epoch(cfg, cur_epoch + cur_iter / trainer.steps_per_epoch)
         train_meter.update_stats(
-            lr, int(video_batch["weight"].sum()), {k: float(v) for k, v in metrics.items()}
+            lr,
+            int(video_batch["weight"].sum()),
+            {k: float(v) for k, v in metrics.items()},
         )
         train_meter.iter_toc()
         train_meter.log_iter_stats(cur_epoch, cur_iter)
         train_meter.iter_tic()
     train_meter.log_epoch_stats(cur_epoch)
     train_meter.reset()
-    state_box[0] = state
+    return state
 
 
-def eval_epoch(cfg, eval_jit, state, val_loader, val_meter, cur_epoch, data_sh):
-    for cur_iter, batch in enumerate(val_loader):
+def eval_epoch(cfg, trainer, state, val_meter, cur_epoch):
+    params = state.params if hasattr(state, "params") else state
+    for cur_iter, batch in enumerate(trainer.val_loader):
         vb = {k: batch[k] for k in ("clips", "labels", "weight")}
-        vb = jax.device_put(vb, data_sh)
+        vb = jax.device_put(vb, trainer.data_sh)
         val_meter.iter_tic()
-        params = state.params if hasattr(state, "params") else state
-        out = eval_jit(params, vb)
-        out = jax.device_get(out)
+        out = jax.device_get(trainer.eval_jit(params, vb))
         val_meter.update_stats(
             out["top1_correct"], out["top5_correct"], out["count"]
         )

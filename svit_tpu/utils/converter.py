@@ -169,6 +169,58 @@ def inflate_patch_kernel(w2d: np.ndarray, t: int) -> np.ndarray:
     return w
 
 
+def _resize_nearest(x: np.ndarray, size: int, axis: int) -> np.ndarray:
+    """torch F.interpolate(mode='nearest') along one axis."""
+    src = x.shape[axis]
+    if src == size:
+        return x
+    idx = np.floor(np.arange(size) * src / size).astype(np.int64)
+    return np.take(x, idx, axis=axis)
+
+
+def load_timm_pretrained(
+    path: str,
+    num_patches: int,
+    patch_kernel_t: int,
+    patch_kernel_hw,
+    num_classes: int,
+) -> Dict[str, np.ndarray]:
+    """timm-style image pretrain -> SViT state-dict (reference
+    ``models/utils.py:87-193``, triggered by ``MODEL.LOAD_IN_PRETRAIN``).
+
+    Rules: drop the classifier on class-count mismatch, nearest-resize the
+    positional embedding to the new patch count, split ``pos_embed`` into
+    ``pos_embed_class`` + ``pos_embed_spatial``, inflate the 2D patch kernel
+    over time by repetition (the reference *expands* without dividing here,
+    unlike the checkpoint-inflation path).
+    """
+    state = load_torch_state(path)
+
+    cls_name = "head" if "head.weight" in state else "head.projection"
+    w = state.get(f"{cls_name}.weight")
+    if w is not None and w.shape[0] != num_classes:
+        state.pop(f"{cls_name}.weight", None)
+        state.pop(f"{cls_name}.bias", None)
+
+    if "pos_embed" in state:
+        pos = state["pos_embed"]  # [1, 1+P, C]
+        if num_patches + 1 != pos.shape[1]:
+            cls_pos = pos[:, :1]
+            other = _resize_nearest(pos[:, 1:], num_patches, axis=1)
+            pos = np.concatenate([cls_pos, other], axis=1)
+        state["pos_embed_class"] = pos[:, :1]
+        state["pos_embed_spatial"] = pos[:, 1:]
+        del state["pos_embed"]
+
+    w = state.get("patch_embed.proj.weight")
+    if w is not None and w.ndim == 4:  # [out, in, kH, kW]
+        w = _resize_nearest(w, patch_kernel_hw[0], axis=2)
+        w = _resize_nearest(w, patch_kernel_hw[1], axis=3)
+        w = np.repeat(w[:, :, None], patch_kernel_t, axis=2)
+        state["patch_embed.proj.weight"] = w
+    return state
+
+
 def flax_to_torch(params: dict) -> Dict[str, np.ndarray]:
     """Inverse mapping (for checkpoint export back to the reference format)."""
     state: Dict[str, np.ndarray] = {}
