@@ -117,6 +117,16 @@ class Kinetics:
 
         label = self._labels[index]
         if self.aug:
+            if cfg.AUG.NUM_SAMPLE > 1:
+                # repeated augmentation (reference kinetics.py aug path):
+                # several independently-augmented crops of the same clip
+                out = []
+                for _ in range(cfg.AUG.NUM_SAMPLE):
+                    f = self._aug_frames(
+                        frames, spatial_idx, min_scale, max_scale, crop_size
+                    )
+                    out.append((f.astype(np.float32), label, index, {}))
+                return out
             frames = self._aug_frames(
                 frames, spatial_idx, min_scale, max_scale, crop_size
             )

@@ -32,6 +32,12 @@ logger = logging.get_logger(__name__)
 
 
 def collate_video(samples, pad_to: Optional[int] = None) -> Dict[str, np.ndarray]:
+    # repeated augmentation yields a list of samples per item
+    # (reference ``multiple_samples_collate``, loader.py:20-42)
+    flat = []
+    for s in samples:
+        flat.extend(s) if isinstance(s, list) else flat.append(s)
+    samples = flat
     frames = np.stack([s[0] for s in samples])
     labels = np.asarray([s[1] for s in samples], np.int32)
     index = np.asarray([s[2] for s in samples], np.int32)
@@ -188,6 +194,12 @@ def construct_loader(cfg, split: str, mesh_data: int = 1):
 
     if split == "train":
         video_ds = build_dataset(cfg.TRAIN.DATASET, cfg, "train")
+        # repeated augmentation multiplies the effective batch
+        num_sample = (
+            cfg.AUG.NUM_SAMPLE
+            if cfg.AUG.ENABLE and cfg.TRAIN.DATASET == "kinetics"
+            else 1
+        )
         video_loader = Loader(
             video_ds,
             cfg.TRAIN.BATCH_SIZE,
@@ -196,7 +208,7 @@ def construct_loader(cfg, split: str, mesh_data: int = 1):
             num_workers=cfg.DATA_LOADER.NUM_WORKERS,
             seed=cfg.RNG_SEED,
             collate_fn=collate_video,
-            pad_to=_round_up(cfg.TRAIN.BATCH_SIZE, mesh_data),
+            pad_to=_round_up(cfg.TRAIN.BATCH_SIZE * num_sample, mesh_data),
             prefetch=cfg.TPU.PREFETCH_DEPTH,
         )
         image_loader = None

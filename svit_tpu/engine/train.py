@@ -136,7 +136,7 @@ def train(cfg):
             start_epoch = epoch + 1
             logger.info("Auto-resumed from %s (epoch %d)", last, epoch)
         elif cfg.TRAIN.CHECKPOINT_FILE_PATH:
-            loaded = cu.load_params_any(cfg.TRAIN.CHECKPOINT_FILE_PATH)
+            loaded = cu.load_params_any(cfg.TRAIN.CHECKPOINT_FILE_PATH, cfg=cfg)
             merged = cu.shape_filtered_merge(
                 jax.device_get(state.params), loaded["params"]
             )
@@ -166,6 +166,16 @@ def train(cfg):
                 params=jax.device_put(merged, trainer.param_shardings)
             )
             logger.info("Loaded image pretrain %s", cfg.MODEL.LOAD_IN_PRETRAIN)
+
+        if cfg.LOG_MODEL_INFO:
+            from svit_tpu.utils import misc
+
+            misc.log_model_info(trainer.model, {"params": state.params}, cfg)
+
+        if cfg.TRAIN.VAL_ONLY:
+            val_meter = meters_lib.ValMeter(len(trainer.val_loader), cfg)
+            eval_epoch(cfg, trainer, state, val_meter, start_epoch)
+            return state
 
         rng = jax.random.PRNGKey(cfg.RNG_SEED)
         train_meter = meters_lib.TrainMeter(trainer.steps_per_epoch, cfg)
@@ -212,8 +222,25 @@ def train_epoch(cfg, trainer, state, train_meter, cur_epoch, rng):
     image_iter = (
         iter(trainer.image_loader) if trainer.image_loader is not None else None
     )
+    mixup_fn = None
+    if cfg.MIXUP.ENABLE:
+        from svit_tpu.data.mixup import MixUp
+
+        nc = trainer.arch.num_classes
+        mixup_fn = MixUp(
+            mixup_alpha=cfg.MIXUP.ALPHA,
+            cutmix_alpha=cfg.MIXUP.CUTMIX_ALPHA,
+            mix_prob=cfg.MIXUP.PROB,
+            switch_prob=cfg.MIXUP.SWITCH_PROB,
+            label_smoothing=cfg.MIXUP.LABEL_SMOOTH_VALUE,
+            num_classes=nc if isinstance(nc, int) else 0,
+            rng=np.random.default_rng(cfg.RNG_SEED + cur_epoch),
+        )
     train_meter.iter_tic()
     for cur_iter, video_batch in enumerate(trainer.train_loader):
+        if mixup_fn is not None:
+            clips, soft = mixup_fn(video_batch["clips"], video_batch["labels"])
+            video_batch = dict(video_batch, clips=clips, labels=soft)
         image_batch = None
         if image_iter is not None:
             try:

@@ -36,16 +36,51 @@ def _needs_pool(kernel, stride) -> bool:
     return int(np.prod(kernel)) != 1 or int(np.prod(stride)) != 1
 
 
+class _GroupedLayerNorm(nn.Module):
+    """LayerNorm over head_dim applied per head on [..., h*hd] channels.
+
+    Matches the reference's per-head ``norm_q/k/v`` (LayerNorm(head_dim) on
+    [B, heads, L, hd]) without requiring a head-major layout.  Param names
+    (scale/bias of size head_dim) stay converter-compatible.
+    """
+
+    head_dim: int
+    epsilon: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        import jax
+
+        shape = x.shape
+        orig_dtype = x.dtype
+        h = shape[-1] // self.head_dim
+        x = x.reshape(*shape[:-1], h, self.head_dim).astype(jnp.float32)
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        scale = self.param("scale", nn.initializers.ones, (self.head_dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.head_dim,), jnp.float32)
+        y = y * scale + bias
+        return y.astype(orig_dtype).reshape(shape)
+
+
 class _PoolPath(nn.Module):
-    """One q/k/v pooling path: depthwise conv (or max/avg) + LayerNorm."""
+    """One q/k/v pooling path: depthwise conv (or max/avg) + per-head LN.
+
+    Operates in the merged [B, L, heads*head_dim] layout: the reference's
+    per-head depthwise conv (shared kernel across heads,
+    ``attention.py:258-304``) is one conv with the kernel tiled across the
+    head axis — no head-split reshapes/copies on the hot path.
+    """
 
     mode: str                    # 'conv' | 'max' | 'avg'
-    dim_conv: int                # channels (head_dim for mode='conv')
+    head_dim: int                # the conv kernel's channel count
+    num_heads: int
     kernel: Triple
     stride: Triple
     num_obj: int
     has_cls: bool
-    name_prefix: str = ""
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -56,10 +91,14 @@ class _PoolPath(nn.Module):
             conv_kernel = self.param(
                 "pool_kernel",
                 nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
-                tuple(self.kernel) + (1, self.dim_conv),
+                tuple(self.kernel) + (1, self.head_dim),
                 jnp.float32,
             )
-            norm = LayerNorm(dtype=self.dtype, name="norm")
+            if self.num_heads > 1:
+                conv_kernel = jnp.tile(conv_kernel, (1, 1, 1, 1, self.num_heads))
+            norm = _GroupedLayerNorm(
+                head_dim=self.head_dim, dtype=self.dtype, name="norm"
+            )
         return pooling.attention_pool(
             x,
             thw,
@@ -101,21 +140,23 @@ class MultiScaleAttention(nn.Module):
         head_dim = self.dim_out // self.num_heads
         scale = head_dim ** -0.5
 
+        heads = self.num_heads
+        # Projections and pooling run in the merged [B, L, heads*hd] layout;
+        # heads are split only at the attention boundary (one small transpose
+        # of the pooled tensors instead of per-path head-major copies).
         if self.separate_qkv:
             q = nn.Dense(self.dim_out, use_bias=self.qkv_bias, dtype=self.dtype, name="q")(x)
             k = nn.Dense(self.dim_out, use_bias=self.qkv_bias, dtype=self.dtype, name="k")(x)
             v = nn.Dense(self.dim_out, use_bias=self.qkv_bias, dtype=self.dtype, name="v")(x)
-            q, k, v = (
-                t.reshape(B, N, self.num_heads, head_dim).transpose(0, 2, 1, 3)
-                for t in (q, k, v)
-            )
         else:
             qkv = nn.Dense(
                 self.dim_out * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv"
             )(x)
-            qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
-            qkv = qkv.transpose(2, 0, 3, 1, 4)  # [3, B, heads, N, hd]
-            q, k, v = qkv[0], qkv[1], qkv[2]
+            # fused projection output is laid out (3, heads, hd) on the
+            # feature axis — minor-axis slices, no transpose copy
+            q = qkv[..., : self.dim_out]
+            k = qkv[..., self.dim_out : 2 * self.dim_out]
+            v = qkv[..., 2 * self.dim_out :]
 
         pool_q_on = _needs_pool(self.kernel_q, self.stride_q)
         pool_kv_on = _needs_pool(self.kernel_kv, self.stride_kv)
@@ -123,7 +164,7 @@ class MultiScaleAttention(nn.Module):
         q_shape = thw
         if pool_q_on:
             q, q_shape = _PoolPath(
-                mode=self.mode, dim_conv=head_dim,
+                mode=self.mode, head_dim=head_dim, num_heads=heads,
                 kernel=tuple(self.kernel_q), stride=tuple(self.stride_q),
                 num_obj=self.num_obj, has_cls=self.has_cls,
                 dtype=self.dtype, name="pool_q",
@@ -131,17 +172,25 @@ class MultiScaleAttention(nn.Module):
         k_shape = v_shape = thw
         if pool_kv_on:
             k, k_shape = _PoolPath(
-                mode=self.mode, dim_conv=head_dim,
+                mode=self.mode, head_dim=head_dim, num_heads=heads,
                 kernel=tuple(self.kernel_kv), stride=tuple(self.stride_kv),
                 num_obj=self.num_obj, has_cls=self.has_cls,
                 dtype=self.dtype, name="pool_k",
             )(k, thw)
             v, v_shape = _PoolPath(
-                mode=self.mode, dim_conv=head_dim,
+                mode=self.mode, head_dim=head_dim, num_heads=heads,
                 kernel=tuple(self.kernel_kv), stride=tuple(self.stride_kv),
                 num_obj=self.num_obj, has_cls=self.has_cls,
                 dtype=self.dtype, name="pool_v",
             )(v, thw)
+
+        def to_heads(t):
+            # [B, L, heads*hd] -> [B, heads, L, hd]
+            return t.reshape(B, t.shape[1], heads, head_dim).transpose(0, 2, 1, 3)
+
+        q = to_heads(q)
+        k = to_heads(k)
+        v = to_heads(v)
 
         rp_h = rp_w = rp_t = None
         if self.rel_pos_spatial:

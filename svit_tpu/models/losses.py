@@ -165,7 +165,16 @@ class VideoImageLoss:
     def video_losses(
         self, logits, labels, extra_preds, frames_extra_preds=None, weight=None
     ) -> Dict[str, jax.Array]:
-        ret = {"loss_ce": cross_entropy(logits, labels, weight)}
+        if labels.ndim == 2:
+            # soft targets (mixup path; reference uses SoftTargetCrossEntropy)
+            per = jnp.sum(-labels * jax.nn.log_softmax(logits, axis=-1), axis=-1)
+            if weight is None:
+                ce = per.mean()
+            else:
+                ce = (per * weight).sum() / jnp.maximum(weight.sum(), 1.0)
+            ret = {"loss_ce": ce}
+        else:
+            ret = {"loss_ce": cross_entropy(logits, labels, weight)}
         if (
             self.forward_video_frames
             and self.consistency_kind

@@ -122,6 +122,127 @@ def pooled_attention(
     return out[:, :Nq]
 
 
+def _attn_bwd_kernel(
+    q_ref, k_ref, v_ref, bias_ref, m_ref, do_ref,
+    dq_ref, dk_ref, dv_ref, dbias_ref,
+):
+    """Backward for one q-tile; dk/dv accumulate across the (sequential)
+    q-tile grid axis via a constant output index map.
+
+    S = qK^T + bias@M; P = softmax(S); O = PV
+    dV += P^T dO
+    dS = P * (dO V^T - rowsum(dO * O))
+    dq = dS K ; dK += dS^T q ; dbias = dS M^T
+    """
+    i = pl.program_id(1)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    logits += jnp.dot(bias_ref[0], m_ref[...], preferred_element_type=jnp.float32)
+    mx = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - mx)
+    s = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / s  # [Tq, Nk] f32
+
+    # dP = dO V^T ; delta = rowsum(dO * O) = rowsum(dP * P)
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+    ds = p * (dp - delta)  # [Tq, Nk] f32
+
+    dq_ref[0] = jnp.dot(
+        ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+    ).astype(dq_ref.dtype)
+    dbias_ref[0] = jax.lax.dot_general(
+        ds, m_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dbias_ref.dtype)
+
+    dk_tile = jax.lax.dot_general(
+        ds.astype(q.dtype), q,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dv_tile = jax.lax.dot_general(
+        p.astype(do_ref.dtype), do_ref[0],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == 0)
+    def _():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    dk_ref[0] += dk_tile.astype(dk_ref.dtype)
+    dv_ref[0] += dv_tile.astype(dv_ref.dtype)
+
+
+def pooled_attention_bwd(
+    q, k, v, bias_src, scatter, do, *, q_tile: int = 512,
+    interpret: Optional[bool] = None,
+):
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    BH, Nq, d = q.shape
+    Nk = k.shape[1]
+    Nk_pad = scatter.shape[1]
+    R = bias_src.shape[2]
+
+    Nq_pad = _round_up(Nq, q_tile)
+    if Nq_pad != Nq:
+        q = jnp.pad(q, ((0, 0), (0, Nq_pad - Nq), (0, 0)))
+        bias_src = jnp.pad(bias_src, ((0, 0), (0, Nq_pad - Nq), (0, 0)))
+        do = jnp.pad(do, ((0, 0), (0, Nq_pad - Nq), (0, 0)))
+    if Nk_pad != Nk:
+        k = jnp.pad(k, ((0, 0), (0, Nk_pad - Nk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, Nk_pad - Nk), (0, 0)))
+
+    grid = (BH, Nq_pad // q_tile)
+    dq, dk, dv, dbias = pl.pallas_call(
+        _attn_bwd_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, Nq_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((BH, Nk_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((BH, Nk_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((BH, Nq_pad, R), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, q_tile, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, Nk_pad, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, Nk_pad, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, q_tile, R), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((R, Nk_pad), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, q_tile, d), lambda b, i: (b, i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, q_tile, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, Nk_pad, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, Nk_pad, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, q_tile, R), lambda b, i: (b, i, 0)),
+        ),
+        interpret=interpret,
+    )(q, k, v, bias_src, scatter, do)
+    return (
+        dq[:, :Nq],
+        dk[:, :Nk].astype(k.dtype),
+        dv[:, :Nk].astype(v.dtype),
+        dbias[:, :Nq].astype(bias_src.dtype),
+    )
+
+
 def _reference_attention(q, k, v, bias_src, scatter):
     """XLA formulation with identical semantics (used for VJP recompute and
     as the non-TPU fallback)."""
@@ -149,8 +270,7 @@ def _fwd(q, k, v, bias_src, scatter):
 
 def _bwd(res, g):
     q, k, v, bias_src, scatter = res
-    _, vjp = jax.vjp(_reference_attention, q, k, v, bias_src, scatter)
-    dq, dk, dv, dbias, _ = vjp(g)
+    dq, dk, dv, dbias = pooled_attention_bwd(q, k, v, bias_src, scatter, g)
     return dq, dk, dv, dbias, None
 
 

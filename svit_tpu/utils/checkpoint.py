@@ -95,14 +95,18 @@ def load_train_state(path: str, abstract_state) -> Tuple[Any, int]:
     return restored, int(restored["epoch"])
 
 
-def load_params_any(path: str, abstract_params=None):
+def load_params_any(path: str, abstract_params=None, cfg=None):
     """Load parameters from either a torch ``.pyth`` file or an orbax dir.
 
     Returns a {'params': ...} pytree of numpy arrays.
     """
     if os.path.isfile(path) and (path.endswith(".pyth") or path.endswith(".pt")
                                  or path.endswith(".pth")):
-        state = converter.load_torch_state(path)
+        clear = tuple(cfg.TRAIN.CHECKPOINT_CLEAR_NAME_PATTERN) if cfg else ()
+        replace = tuple(
+            tuple(p) for p in cfg.TRAIN.CHECKPOINT_REPLACE_NAME_PATTERN
+        ) if cfg else ()
+        state = converter.load_torch_state(path, clear, replace)
         return converter.torch_to_flax(state)
     import orbax.checkpoint as ocp
 

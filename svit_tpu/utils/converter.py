@@ -25,8 +25,16 @@ from typing import Dict
 import numpy as np
 
 
-def load_torch_state(path: str) -> Dict[str, np.ndarray]:
-    """Read a ``.pyth`` checkpoint into {name: np.ndarray}."""
+def load_torch_state(
+    path: str, clear_patterns=(), replace_patterns=()
+) -> Dict[str, np.ndarray]:
+    """Read a ``.pyth`` checkpoint into {name: np.ndarray}.
+
+    ``clear_patterns`` strips prefixes/substrings from names and
+    ``replace_patterns`` rewrites (old, new) pairs — the reference's
+    ``TRAIN.CHECKPOINT_CLEAR_NAME_PATTERN`` / ``_REPLACE_NAME_PATTERN``
+    (checkpoint.py:323-352).
+    """
     import torch
 
     blob = torch.load(path, map_location="cpu", weights_only=False)
@@ -35,6 +43,10 @@ def load_torch_state(path: str) -> Dict[str, np.ndarray]:
     for k, v in state.items():
         if k.startswith("module."):
             k = k[len("module."):]
+        for pat in clear_patterns:
+            k = k.replace(pat, "")
+        for old, new in replace_patterns:
+            k = k.replace(old, new)
         out[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
     return out
 

@@ -55,6 +55,21 @@ def test_custom_vjp_gradient():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
 
 
+def test_custom_vjp_gradient_unaligned():
+    q, k, v, bias, scatter = _inputs(Nq=200)
+
+    def loss_fused(q, k, v, bias):
+        return (pa.fused_attention(q, k, v, bias, scatter) ** 2).sum()
+
+    def loss_ref(q, k, v, bias):
+        return (pa._reference_attention(q, k, v, bias, scatter) ** 2).sum()
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
 def test_scatter_matrix_structure():
     kshape = (2, 3, 3)
     sp = 1
