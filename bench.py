@@ -18,7 +18,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
-BATCH = 8
+BATCH = 16
 ITERS = 20
 
 

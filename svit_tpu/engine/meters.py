@@ -296,6 +296,76 @@ class TestMeter:
         return stats
 
 
+class AVAMeter:
+    """AVA detection meter (reference meters.py:52-234): accumulates per-clip
+    box predictions + ground truth and computes mAP via the compact PASCAL
+    evaluator (`engine/ava_eval.py`)."""
+
+    def __init__(self, overall_iters: int, cfg, mode: str):
+        self.cfg = cfg
+        self.mode = mode
+        self.overall_iters = overall_iters
+        self.iter_timer = Timer()
+        self.loss_meter = MultiLossMeter(cfg.LOG_PERIOD)
+        self.groundtruth = {}
+        self.detections = {}
+        self.full_map = 0.0
+
+    def reset(self):
+        self.groundtruth.clear()
+        self.detections.clear()
+        self.loss_meter.reset()
+
+    def iter_tic(self):
+        self.iter_timer.reset()
+
+    def iter_toc(self):
+        self.iter_timer.pause()
+
+    def update_stats(
+        self, image_keys, pred_boxes, pred_scores, pred_classes,
+        gt_boxes=None, gt_classes=None, dloss=None,
+    ):
+        """Per-batch: predicted (box, score, class) triples per image key,
+        optional ground-truth boxes/classes."""
+        from collections import defaultdict
+
+        for i, key in enumerate(image_keys):
+            det = self.detections.setdefault(key, defaultdict(list))
+            det[int(pred_classes[i])].append(
+                (np.asarray(pred_boxes[i], np.float64), float(pred_scores[i]))
+            )
+            if gt_boxes is not None:
+                gt = self.groundtruth.setdefault(key, defaultdict(list))
+                gt[int(gt_classes[i])].append(
+                    (np.asarray(gt_boxes[i], np.float64), 1.0)
+                )
+        if dloss:
+            self.loss_meter.update(dloss)
+
+    def log_iter_stats(self, cur_epoch, cur_iter):
+        if (cur_iter + 1) % self.cfg.LOG_PERIOD != 0:
+            return
+        logging.log_json_stats(
+            {
+                "_type": f"ava_{self.mode}_iter",
+                "cur_iter": cur_iter + 1,
+                "time_diff": self.iter_timer.seconds(),
+            }
+        )
+
+    def finalize_metrics(self, log: bool = True):
+        from svit_tpu.engine.ava_eval import evaluate_detections
+
+        results = evaluate_detections(self.groundtruth, self.detections)
+        self.full_map = results["PascalBoxes_Precision/mAP@0.5IOU"]
+        if log:
+            logging.log_json_stats(
+                {"_type": f"ava_{self.mode}_final", "mAP": self.full_map}
+            )
+        return self.full_map
+
+
 class EpochTimer:
     """Per-epoch wall-clock stats (reference meters.py:738-790)."""
 

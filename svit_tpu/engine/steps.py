@@ -154,11 +154,18 @@ def make_eval_step(model, num_classes: int):
         correct = top5 == batch["labels"][:, None]
         c1 = (correct[:, :k1].any(axis=1) * w).sum()
         c5 = (correct.any(axis=1) * w).sum()
+        # eval-mode loss (reference re-runs the loss fn at val,
+        # meters.py:869-883); eval logits are softmax'd -> use log directly
+        safe = jnp.clip(batch["labels"], 0, max(num_classes - 1, 0))
+        p = jnp.take_along_axis(logits, safe[:, None], axis=-1)[:, 0]
+        nll = -jnp.log(jnp.maximum(p, 1e-12))
+        val_loss = (nll * w).sum() / jnp.maximum(w.sum(), 1.0)
         return {
             "logits": logits,
             "top1_correct": c1,
             "top5_correct": c5,
             "count": w.sum(),
+            "loss_ce": val_loss,
         }
 
     return eval_step

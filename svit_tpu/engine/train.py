@@ -283,7 +283,8 @@ def eval_epoch(cfg, trainer, state, val_meter, cur_epoch):
         val_meter.iter_tic()
         out = jax.device_get(trainer.eval_jit(params, vb))
         val_meter.update_stats(
-            out["top1_correct"], out["top5_correct"], out["count"]
+            out["top1_correct"], out["top5_correct"], out["count"],
+            extra={"loss_ce": float(out["loss_ce"])},
         )
         val_meter.iter_toc()
         val_meter.log_iter_stats(cur_epoch, cur_iter)

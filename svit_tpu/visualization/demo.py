@@ -127,9 +127,13 @@ class Predictor:
             self.params = self.model.init(
                 {"params": jax.random.PRNGKey(0)}, x0, deterministic=True
             )["params"]
-        self._fwd = jax.jit(
-            lambda p, x: self.model.apply({"params": p}, x, deterministic=True)[0]
-        )
+        def _run(params, x):
+            logits, extra = self.model.apply(
+                {"params": params}, x, deterministic=True
+            )
+            return logits, extra["pred_bboxes"]
+
+        self._fwd = jax.jit(_run)
 
     def __call__(self, frames: List[np.ndarray]) -> np.ndarray:
         cfg = self.cfg
@@ -140,8 +144,8 @@ class Predictor:
         # temporal subsample to NUM_FRAMES
         idx = np.linspace(0, arr.shape[0] - 1, cfg.DATA.NUM_FRAMES).astype(int)
         clip = jnp.asarray(arr[idx][None])
-        preds = self._fwd(self.params, clip)
-        return np.asarray(preds)[0]
+        preds, pred_bboxes = self._fwd(self.params, clip)
+        return np.asarray(preds)[0], np.asarray(pred_bboxes)[0]
 
 
 def demo(cfg):
@@ -182,8 +186,20 @@ def demo(cfg):
     for frame in frame_source(cfg):
         buffer.append(frame)
         if len(buffer) == seq_len:
-            preds = predictor(buffer)
-            for f in vis.draw_clip(buffer, preds):
+            preds, pred_bboxes = predictor(buffer)
+            # overlay HAOG object boxes (nearest model frame per input frame)
+            from svit_tpu.visualization.draw import draw_haog_boxes
+
+            T = pred_bboxes.shape[0]
+            drawn = []
+            for fi, f in enumerate(buffer):
+                t = min(T - 1, fi * T // len(buffer))
+                drawn.append(
+                    draw_haog_boxes(
+                        f, pred_bboxes[t, :, 1:], pred_bboxes[t, :, 0]
+                    )
+                )
+            for f in vis.draw_clip(drawn, preds):
                 out_frames.put(f)
             n_clips += 1
             keep = seq_len // 2 if cfg.DEMO.BUFFER_SIZE == 0 else cfg.DEMO.BUFFER_SIZE
