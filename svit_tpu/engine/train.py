@@ -105,6 +105,38 @@ class Trainer:
         )
 
 
+class _PreemptionGuard:
+    """Save-and-exit on SIGTERM (TPU preemption signal).
+
+    The reference has no elastic story beyond auto-resume after a crash
+    (SURVEY §5.3); on TPU preemptions are routine, so the epoch loop polls
+    this flag and checkpoints before exiting, making auto-resume lossless at
+    epoch granularity.
+    """
+
+    def __init__(self):
+        import signal
+
+        self.fired = False
+        self._prev = None
+        try:
+            self._prev = signal.signal(signal.SIGTERM, self._handle)
+        except ValueError:
+            pass  # not in main thread (tests)
+
+    def _handle(self, signum, frame):
+        self.fired = True
+
+    def restore(self):
+        import signal
+
+        if self._prev is not None:
+            try:
+                signal.signal(signal.SIGTERM, self._prev)
+            except ValueError:
+                pass
+
+
 def train(cfg):
     np.random.seed(cfg.RNG_SEED)
     logging.setup_logging(cfg.OUTPUT_DIR)
@@ -181,8 +213,16 @@ def train(cfg):
         train_meter = meters_lib.TrainMeter(trainer.steps_per_epoch, cfg)
         val_meter = meters_lib.ValMeter(len(trainer.val_loader), cfg)
         epoch_timer = meters_lib.EpochTimer()
+        guard = _PreemptionGuard()
 
         for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
+            if guard.fired:
+                logger.warning(
+                    "SIGTERM received: checkpointing at epoch %d and exiting",
+                    cur_epoch - 1,
+                )
+                cu.save_checkpoint(cfg.OUTPUT_DIR, state, cur_epoch - 1, cfg)
+                break
             if multigrid is not None and multigrid.schedule is not None:
                 cfg, changed = multigrid.update_long_cycle(cfg, cur_epoch)
                 if changed:
@@ -215,6 +255,7 @@ def train(cfg):
                 cur_epoch + 1 == cfg.SOLVER.MAX_EPOCH
             ):
                 eval_epoch(cfg, trainer, state, val_meter, cur_epoch)
+        guard.restore()
     return state
 
 
