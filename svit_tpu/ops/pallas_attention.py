@@ -16,9 +16,11 @@ per-query bias components over (kT | kH | kW | mask) are stacked into
 one-hot matrix ``M [R, Nk_pad]`` built on the host (padding columns get
 -inf through the mask channel, so padded keys never receive weight).
 
-Forward-only as a primitive; ``fused_attention`` wires a custom VJP whose
-backward recomputes through the reference XLA formulation (flash-style
-recomputation — no [Nq, Nk] residuals are ever stored).
+``fused_attention`` wires a custom VJP: the backward kernel recomputes the
+tile's softmax (flash-style — no [Nq, Nk] residuals are ever stored), writes
+dq/dbias per tile, and accumulates dK/dV in VMEM across the sequential
+q-tile grid axis.  ``_reference_attention`` is the semantically-identical
+XLA fallback used by tests and non-TPU backends.
 """
 
 from __future__ import annotations
@@ -30,7 +32,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 

@@ -72,11 +72,27 @@ class TensorboardWriter:
         self.writer.add_histogram(tag, np.asarray(values), global_step)
 
     def add_video(self, vid_tensor, tag="Video Input", global_step=None, fps=4):
-        """vid_tensor: [B, T, H, W, C] uint8 -> torch [B,T,C,H,W]."""
+        """vid_tensor: [B, T, H, W, C] uint8 -> torch [B,T,C,H,W].
+
+        tensorboard's video summary needs moviepy; falls back to per-frame
+        image summaries when it's unavailable.
+        """
         import torch
 
-        v = torch.from_numpy(np.asarray(vid_tensor)).permute(0, 1, 4, 2, 3)
-        self.writer.add_video(tag, v, global_step=global_step, fps=fps)
+        arr = np.asarray(vid_tensor)
+        try:
+            import moviepy  # noqa: F401
+
+            v = torch.from_numpy(arr).permute(0, 1, 4, 2, 3)
+            self.writer.add_video(tag, v, global_step=global_step, fps=fps)
+        except ImportError:
+            for t in range(min(arr.shape[1], 8)):
+                self.writer.add_image(
+                    f"{tag}/frame_{t}",
+                    arr[0, t],
+                    global_step=global_step,
+                    dataformats="HWC",
+                )
 
     def plot_weights_and_activations(self, tree, tag="", global_step=None):
         """Histogram every array leaf of a param/activation pytree."""
