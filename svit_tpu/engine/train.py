@@ -56,6 +56,14 @@ class Trainer:
         w_i = (
             num_image_ranks(cfg) / max(cfg.NUM_GPUS, 1) if self.with_image else 0.0
         )
+        if self.with_image and w_i >= 1.0:
+            # e.g. NUM_GPUS=1 with IMAGE_TRAIN.GPU_IDS=[0]: every reference
+            # rank would be an image rank and the video loss gets weight 0.
+            logger.warning(
+                "video-loss weight is %.2f (image ranks %d / %d devices) — "
+                "the video objective contributes nothing to gradients",
+                1.0 - w_i, num_image_ranks(cfg), cfg.NUM_GPUS,
+            )
         with_consistency = bool(
             cfg.TRAIN.FORWARD_VIDEO_FRAMES and cfg.SVIT.CONSISTENCY_LOSS
         )
