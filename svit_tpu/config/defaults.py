@@ -390,6 +390,12 @@ _C.TPU.USE_PALLAS_ATTENTION = True  # fused pooled-attention kernel where legal
 _C.TPU.REMAT = False            # jax.checkpoint each block (memory for FLOPs)
 _C.TPU.PREFETCH_DEPTH = 2       # host->device pipeline depth
 _C.TPU.PROFILE_DIR = ""         # jax.profiler trace output ("" = disabled)
+# Device-side training augmentation (svit_tpu/data/device_aug.py): the host
+# ships raw uint8 frames (canonical RAW_SIZE square) and the train step runs
+# crop/flip/shear/rotate/photometric/erasing/normalize on the accelerator.
+# Policy-equivalent to (not bit-identical with) the host PIL pipeline.
+_C.TPU.DEVICE_AUG = False
+_C.TPU.RAW_SIZE = 320
 
 
 def get_cfg() -> CfgNode:

@@ -54,6 +54,9 @@ class Ssv2:
         self._construct()
         self.aug = mode == "train" and cfg.AUG.ENABLE
         self.rand_erase = self.aug and cfg.AUG.RE_PROB > 0
+        # Raw mode (TPU.DEVICE_AUG): emit canonical-size uint8 frames; all
+        # augmentation runs on-device inside the train step.
+        self.raw_mode = mode == "train" and cfg.TPU.DEVICE_AUG
         self._rng = np.random.default_rng(cfg.RNG_SEED + hash(mode) % 2**16)
 
     # -- label / split files -------------------------------------------------
@@ -157,6 +160,17 @@ class Ssv2:
         label = self._labels[index]
         fpaths = self._frames_list(index, rng)
         frames = dutils.retry_load_images(fpaths, self._num_retries)  # [T,H,W,C] u8
+
+        if self.raw_mode:
+            raw = cfg.TPU.RAW_SIZE
+            frames, _ = transform.short_side_scale(
+                frames.astype(np.float32), raw
+            )
+            frames, _ = transform.uniform_crop(frames, raw, 1)
+            return (
+                np.clip(np.round(frames), 0, 255).astype(np.uint8),
+                label, index, {},
+            )
 
         if self.aug:
             frames = self._aug_frames(

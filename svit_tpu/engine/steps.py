@@ -54,12 +54,16 @@ def make_train_step(
     image_weight: float,
     with_image: bool,
     with_consistency: bool,
+    device_aug_cfg=None,
 ):
     """Build the fused video+image train step.
 
     video_batch: {clips [B,T,H,W,3], labels [B], weight [B]}
     image_batch: {frames [B,1,H,W,3], haog_bboxes [B,1,O,4],
                   contact_state [B,2], weight [B]} (may be None)
+
+    With ``device_aug_cfg`` (a DeviceAugConfig), video clips arrive as raw
+    uint8 and the augmentation pipeline runs inside this compiled step.
     """
 
     def loss_fn(params, video_batch, image_batch, rng):
@@ -124,6 +128,13 @@ def make_train_step(
 
     def train_step(state: TrainState, video_batch, image_batch, rng):
         rng = jax.random.fold_in(rng, state.step)
+        if device_aug_cfg is not None:
+            from svit_tpu.data.device_aug import device_augment
+
+            clips = device_augment(
+                video_batch["clips"], jax.random.fold_in(rng, 7), device_aug_cfg
+            )
+            video_batch = dict(video_batch, clips=clips)
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, video_batch, image_batch, rng
         )

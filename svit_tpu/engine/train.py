@@ -75,11 +75,17 @@ class Trainer:
         self.param_shardings = meshlib.param_sharding(mesh, abstract["params"])
         self.abstract_params = abstract["params"]
 
+        device_aug_cfg = None
+        if cfg.TPU.DEVICE_AUG:
+            from svit_tpu.data.device_aug import config_from_cfg
+
+            device_aug_cfg = config_from_cfg(cfg)
         self.step_jit = jax.jit(
             steps.make_train_step(
                 self.model, self.loss_obj, self.tx,
                 video_weight=1.0 - w_i, image_weight=w_i,
                 with_image=self.with_image, with_consistency=with_consistency,
+                device_aug_cfg=device_aug_cfg,
             ),
             donate_argnums=(0,),
         )
