@@ -87,12 +87,15 @@ def pooled_attention(
     bias_src: jax.Array,   # [BH, Nq, R] f32 (last channel == 1.0)
     scatter: jax.Array,    # [R, Nk_pad] f32
     *,
-    q_tile: int = 512,
+    q_tile: int = 1024,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     BH, Nq, d = q.shape
+    # adapt the tile to short query axes (fewer wasted padded rows); 1024
+    # measured 4x faster than 512 at the stem shapes (grid-overhead-bound)
+    q_tile = min(q_tile, _round_up(Nq, 256))
     Nk = k.shape[1]
     Nk_pad = scatter.shape[1]
     R = bias_src.shape[2]
@@ -191,12 +194,13 @@ def _attn_bwd_kernel(
 
 
 def pooled_attention_bwd(
-    q, k, v, bias_src, scatter, do, *, q_tile: int = 512,
+    q, k, v, bias_src, scatter, do, *, q_tile: int = 1024,
     interpret: Optional[bool] = None,
 ):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     BH, Nq, d = q.shape
+    q_tile = min(q_tile, _round_up(Nq, 256))
     Nk = k.shape[1]
     Nk_pad = scatter.shape[1]
     R = bias_src.shape[2]
