@@ -50,7 +50,9 @@ class Doh_frames(Ssv2_frames):
         self._construct()
         self.aug = mode == "train" and cfg.AUG.ENABLE
         self.rand_erase = self.aug and cfg.AUG.RE_PROB > 0
-        self._rng = np.random.default_rng(cfg.RNG_SEED + 77)
+        self.raw_mode = False
+        self._epoch = 0
+        self._rng = np.random.default_rng(cfg.RNG_SEED + 77)  # resample only
         self.bad_idxs = set()
         self.label_names_idx = {k: i for i, k in enumerate(LABEL_NAMES)}
 
@@ -107,7 +109,7 @@ class Doh_frames(Ssv2_frames):
         raise RuntimeError("all DOH samples failed to load")
 
     def _getitem(self, index: int):
-        rng = self._rng
+        rng = self._item_rng(index)
         cfg = self.cfg
         if self.mode in ("train", "val"):
             spatial_idx = -1

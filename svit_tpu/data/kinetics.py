@@ -33,7 +33,8 @@ class Kinetics:
             if mode in ("train", "val")
             else cfg.TEST.NUM_ENSEMBLE_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
         )
-        self._rng = np.random.default_rng(cfg.RNG_SEED + hash(mode) % 2**16)
+        self._rng = np.random.default_rng(cfg.RNG_SEED + 1234)  # decode resample
+        self._epoch = 0
         self._construct()
         self.aug = mode == "train" and cfg.AUG.ENABLE
         self.rand_erase = self.aug and cfg.AUG.RE_PROB > 0
@@ -72,8 +73,20 @@ class Kinetics:
     def num_videos(self):
         return len(self._path_to_videos)
 
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+
+    def _item_rng(self, index: int) -> np.random.Generator:
+        mode_id = {"train": 0, "val": 1, "test": 2}[self.mode]
+        return np.random.default_rng(
+            np.random.SeedSequence(
+                [self.cfg.RNG_SEED, 10 + mode_id, self._epoch, index]
+            )
+        )
+
     def __getitem__(self, index: int):
         cfg = self.cfg
+        item_rng = self._item_rng(index)
         if self.mode in ("train", "val"):
             temporal_idx = -1
             spatial_idx = -1
@@ -101,7 +114,7 @@ class Kinetics:
                 target_fps=cfg.DATA.TARGET_FPS,
                 backend=cfg.DATA.DECODING_BACKEND,
                 use_offset=cfg.DATA.USE_OFFSET_SAMPLING,
-                rng=self._rng,
+                rng=item_rng,
             )
             if frames is not None:
                 break
@@ -123,17 +136,18 @@ class Kinetics:
                 out = []
                 for _ in range(cfg.AUG.NUM_SAMPLE):
                     f = self._aug_frames(
-                        frames, spatial_idx, min_scale, max_scale, crop_size
+                        frames, spatial_idx, min_scale, max_scale, crop_size,
+                        item_rng,
                     )
                     out.append((f.astype(np.float32), label, index, {}))
                 return out
             frames = self._aug_frames(
-                frames, spatial_idx, min_scale, max_scale, crop_size
+                frames, spatial_idx, min_scale, max_scale, crop_size, item_rng
             )
         else:
             frames = transform.tensor_normalize(frames, cfg.DATA.MEAN, cfg.DATA.STD)
             frames, _ = transform.spatial_sampling(
-                frames, self._rng,
+                frames, item_rng,
                 spatial_idx=spatial_idx,
                 min_scale=min_scale, max_scale=max_scale, crop_size=crop_size,
                 random_horizontal_flip=cfg.DATA.RANDOM_FLIP,
@@ -141,11 +155,12 @@ class Kinetics:
             )
         return frames.astype(np.float32), label, index, {}
 
-    def _aug_frames(self, frames, spatial_idx, min_scale, max_scale, crop_size):
+    def _aug_frames(self, frames, spatial_idx, min_scale, max_scale, crop_size,
+                    rng=None):
         from PIL import Image
 
         cfg = self.cfg
-        rng = self._rng
+        rng = rng if rng is not None else self._rng
         aug = rand_augment_transform(
             cfg.AUG.AA_TYPE, interpolation=cfg.AUG.INTERPOLATION, rng=rng
         )

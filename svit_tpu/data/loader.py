@@ -119,8 +119,13 @@ class Loader:
         self._epoch = 0
 
     def set_epoch(self, epoch: int):
-        """reference ``loader.shuffle_dataset`` -> ``sampler.set_epoch``."""
+        """reference ``loader.shuffle_dataset`` -> ``sampler.set_epoch``.
+
+        Propagates to the dataset so per-item augmentation rngs advance
+        per epoch."""
         self._epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def _indices(self) -> np.ndarray:
         n = len(self.dataset)

@@ -26,6 +26,11 @@ class Multi_images:
         self.offsets = np.cumsum([0] + self.lengths)
         self.base_len = int(self.offsets[-1])
 
+    def set_epoch(self, epoch: int):
+        for d in self.datasets:
+            if hasattr(d, "set_epoch"):
+                d.set_epoch(epoch)
+
     def __len__(self):
         return self.base_len * LENGTH_MULTIPLIER
 

@@ -57,7 +57,21 @@ class Ssv2:
         # Raw mode (TPU.DEVICE_AUG): emit canonical-size uint8 frames; all
         # augmentation runs on-device inside the train step.
         self.raw_mode = mode == "train" and cfg.TPU.DEVICE_AUG
-        self._rng = np.random.default_rng(cfg.RNG_SEED + hash(mode) % 2**16)
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+
+    def _item_rng(self, index: int) -> np.random.Generator:
+        """Per-item generator seeded by (seed, mode, epoch, index): the
+        augmentation stream is reproducible regardless of worker scheduling
+        (a shared stream would depend on thread interleaving)."""
+        mode_id = {"train": 0, "val": 1, "test": 2}[self.mode]
+        return np.random.default_rng(
+            np.random.SeedSequence(
+                [self.cfg.RNG_SEED, mode_id, self._epoch, index]
+            )
+        )
 
     # -- label / split files -------------------------------------------------
     def _split_files(self):
@@ -145,7 +159,7 @@ class Ssv2:
 
     # -- item ---------------------------------------------------------------
     def __getitem__(self, index: int):
-        rng = self._rng
+        rng = self._item_rng(index)
         cfg = self.cfg
         if self.mode in ("train", "val"):
             spatial_idx = -1

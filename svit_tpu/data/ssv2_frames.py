@@ -79,7 +79,7 @@ class Ssv2_frames(Ssv2):
         return [fpath], matched[None], contact_state
 
     def __getitem__(self, index: int):
-        rng = self._rng
+        rng = self._item_rng(index)
         cfg = self.cfg
         if self.mode in ("train", "val"):
             spatial_idx = -1

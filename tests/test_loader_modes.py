@@ -1,0 +1,71 @@
+"""Loader worker-pool modes + drop_last semantics."""
+
+import numpy as np
+import pytest
+
+from tests.fixtures import make_ssv2_fixture
+from tests.test_data_pipeline import _cfg
+
+
+@pytest.fixture(scope="module")
+def root(tmp_path_factory):
+    r = tmp_path_factory.mktemp("ssv2")
+    make_ssv2_fixture(str(r))
+    return str(r)
+
+
+def _loader(root, **kw):
+    """Fresh dataset per loader: the val path draws random spatial jitter
+    from the dataset rng (reference semantics), so sharing a dataset between
+    two loaders would diverge their streams."""
+    from svit_tpu.data import build_dataset
+    from svit_tpu.data.loader import Loader, collate_video
+
+    ds = build_dataset("ssv2", _cfg(root, **{"AUG.ENABLE": False}), "val")
+    defaults = dict(
+        shuffle=False, drop_last=False, num_workers=2,
+        collate_fn=collate_video,
+    )
+    defaults.update(kw)
+    return Loader(ds, 2, **defaults)
+
+
+def test_threaded_loader_matches_inline(root):
+    inline = list(_loader(root, num_workers=0))
+    threaded = list(_loader(root, num_workers=2))
+    assert len(inline) == len(threaded)
+    for a, b in zip(inline, threaded):
+        np.testing.assert_array_equal(a["index"], b["index"])
+        np.testing.assert_allclose(a["clips"], b["clips"])
+
+
+def test_drop_last(root):
+    from svit_tpu.data import build_dataset
+    from svit_tpu.data.loader import Loader, collate_video
+
+    ds = build_dataset("ssv2", _cfg(root, **{"AUG.ENABLE": False}), "val")
+    keep = Loader(ds, 3, shuffle=False, drop_last=False, num_workers=0,
+                  collate_fn=collate_video)
+    drop = Loader(ds, 3, shuffle=False, drop_last=True, num_workers=0,
+                  collate_fn=collate_video)
+    assert len(keep) == 2  # 4 videos / batch 3
+    assert len(drop) == 1
+    assert sum(1 for _ in keep) == 2
+    assert sum(1 for _ in drop) == 1
+
+
+def test_worker_error_propagates(root):
+    loader = _loader(root, num_workers=2)
+
+    class Boom(Exception):
+        pass
+
+    def bad_get(idx):
+        raise Boom("decode failed")
+
+    loader.dataset = type("DS", (), {
+        "__getitem__": staticmethod(bad_get),
+        "__len__": staticmethod(lambda: 4),
+    })()
+    with pytest.raises(Exception):
+        list(loader)
