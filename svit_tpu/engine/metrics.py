@@ -52,15 +52,11 @@ def multitask_topks_correct(preds: dict, labels: dict, ks=(1,)):
 
 def jit_topk_correct(preds: jnp.ndarray, labels: jnp.ndarray, ks=(1, 5)):
     """Device-side top-k correct counts for use inside jitted eval steps."""
+    import jax
+
     out = []
     for k in ks:
         kk = min(k, preds.shape[-1])
-        _, idx = jax_top_k(preds, kk)
+        _, idx = jax.lax.top_k(preds, kk)
         out.append(jnp.sum(idx == labels[:, None]))
     return out
-
-
-def jax_top_k(x, k):
-    import jax
-
-    return jax.lax.top_k(x, k)
