@@ -40,6 +40,20 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+_VMEM_BUDGET = 14 * 1024 * 1024  # leave headroom under the 16MB scoped limit
+
+
+def _pick_q_tile(q_tile: int, n_q: int, n_k_pad: int, live_f32_rows: int) -> int:
+    """Largest 256-multiple tile whose live f32 [tile, Nk_pad] buffers fit VMEM.
+
+    ``live_f32_rows`` = number of concurrently-live [tile, Nk_pad] f32
+    buffers (2 for forward logits+probs, 4 for backward logits/p/dp/ds).
+    """
+    budget_tile = _VMEM_BUDGET // (4 * live_f32_rows * n_k_pad)
+    budget_tile = max(256, budget_tile // 256 * 256)
+    return min(q_tile, budget_tile, _round_up(n_q, 256))
+
+
 @functools.lru_cache(maxsize=None)
 def _scatter_matrix(
     k_shape: Tuple[int, int, int], n_k: int, n_k_pad: int, sp: int
@@ -93,12 +107,13 @@ def pooled_attention(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     BH, Nq, d = q.shape
-    # adapt the tile to short query axes (fewer wasted padded rows); 1024
-    # measured 4x faster than 512 at the stem shapes (grid-overhead-bound)
-    q_tile = min(q_tile, _round_up(Nq, 256))
     Nk = k.shape[1]
     Nk_pad = scatter.shape[1]
     R = bias_src.shape[2]
+    # adapt the tile: large tiles amortize grid overhead (1024 measured 4x
+    # faster than 512 at the stem shapes) but live [tile, Nk_pad] f32
+    # buffers must stay inside scoped VMEM
+    q_tile = _pick_q_tile(q_tile, Nq, Nk_pad, live_f32_rows=2)
 
     Nq_pad = _round_up(Nq, q_tile)
     if Nq_pad != Nq:
@@ -200,10 +215,10 @@ def pooled_attention_bwd(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     BH, Nq, d = q.shape
-    q_tile = min(q_tile, _round_up(Nq, 256))
     Nk = k.shape[1]
     Nk_pad = scatter.shape[1]
     R = bias_src.shape[2]
+    q_tile = _pick_q_tile(q_tile, Nq, Nk_pad, live_f32_rows=4)
 
     Nq_pad = _round_up(Nq, q_tile)
     if Nq_pad != Nq:

@@ -129,3 +129,17 @@ def _make_cfg():
     cfg.MVIT.DROPPATH_RATE = 0.0
     cfg.TRAIN.MIXED_PRECISION = False
     return cfg
+
+
+def test_pick_q_tile_vmem_budget():
+    """Tiles shrink for fat key axes so live f32 buffers fit scoped VMEM."""
+    from svit_tpu.ops.pallas_attention import _VMEM_BUDGET, _pick_q_tile
+
+    # stem: short keys -> full tile
+    assert _pick_q_tile(1024, 25153, 512, live_f32_rows=2) == 1024
+    # KV-heavy block backward: tile must shrink
+    t = _pick_q_tile(1024, 6337, 1664, live_f32_rows=4)
+    assert t < 1024
+    assert 4 * 4 * t * 1664 <= _VMEM_BUDGET
+    # tiny query axis rounds down to its own size
+    assert _pick_q_tile(1024, 300, 512, live_f32_rows=2) == 512
