@@ -64,3 +64,19 @@ def get_num_classes(cfg):
     if cfg.TRAIN.DATASET == "epickitchens":
         return {"noun": 300, "verb": 97}
     return cfg.MODEL.NUM_CLASSES
+
+
+def launch_job(cfg, init_method=None, func=None, daemon=False):
+    """Run a job entry point (reference ``misc.py:271-299``).
+
+    The reference spawns one process per GPU; on TPU a single process per
+    host drives the whole chip mesh, so this initializes the multi-host
+    runtime (when NUM_SHARDS > 1) and calls ``func(cfg)`` directly — the
+    same degenerate path the reference takes at NUM_GPUS <= 1.
+    """
+    from svit_tpu.parallel.dist import init_distributed
+
+    if init_method is not None:
+        cfg.INIT_METHOD = init_method
+    init_distributed(cfg)
+    return func(cfg)
