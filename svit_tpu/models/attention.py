@@ -29,6 +29,47 @@ from svit_tpu.ops import pooling, rel_pos
 Triple = Tuple[int, int, int]
 
 
+class _DenseParams(nn.Module):
+    """Parameter container matching nn.Dense's tree (kernel/bias) and init,
+    for ops computed by fused kernels instead of module calls."""
+
+    dim_in: int
+    dim_out: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.dim_in, self.dim_out), jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.dim_out,), jnp.float32)
+        return k, b
+
+
+class _LNParams(nn.Module):
+    """Parameter container matching LayerNorm's tree (scale/bias)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        return s, b
+
+
+class _MlpParams(nn.Module):
+    dim_in: int
+    hidden: int
+    dim_out: int
+
+    @nn.compact
+    def __call__(self):
+        fc1 = _DenseParams(self.dim_in, self.hidden, name="fc1")()
+        fc2 = _DenseParams(self.hidden, self.dim_out, name="fc2")()
+        return fc1, fc2
+
+
 def _needs_pool(kernel, stride) -> bool:
     """Pooling is skipped for kernel=stride=1 (reference attention.py:234-237)."""
     if not kernel or not stride:
@@ -350,15 +391,37 @@ class MultiScaleBlock(nn.Module):
 
         dp = DropPath(self.drop_path, name="drop_path")
         x = x_res + dp(x_block, deterministic=deterministic)
-        x_norm2 = LayerNorm(dtype=self.dtype, name="norm2")(x)
-        x_mlp = Mlp(
-            hidden_features=int(att_dim * self.mlp_ratio),
-            out_features=self.dim_out,
-            drop_rate=self.drop_rate,
-            dtype=self.dtype,
-            name="mlp",
-        )(x_norm2, deterministic=deterministic)
-        if not self.dim_mul_in_att and self.dim != self.dim_out:
-            x = nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(x_norm2)
+        hidden = int(att_dim * self.mlp_ratio)
+        # Fused LN+MLP kernel: usable whenever norm2's output feeds only the
+        # MLP (the dim_mul_in_att=False dim-change path consumes it too) and
+        # the MLP has no dropout.
+        fuse_ffn = (
+            self.use_pallas
+            and self.drop_rate == 0.0
+            and (self.dim_mul_in_att or self.dim == self.dim_out)
+        )
+        if fuse_ffn:
+            from svit_tpu.ops.pallas_ffn import fused_ffn
+
+            ln_s, ln_b = _LNParams(att_dim, name="norm2")()
+            (w1, b1), (w2, b2) = _MlpParams(
+                att_dim, hidden, self.dim_out, name="mlp"
+            )()
+            cast = self.dtype
+            x_mlp = fused_ffn(
+                x, ln_s, ln_b,
+                w1.astype(cast), b1, w2.astype(cast), b2,
+            )
+        else:
+            x_norm2 = LayerNorm(dtype=self.dtype, name="norm2")(x)
+            x_mlp = Mlp(
+                hidden_features=hidden,
+                out_features=self.dim_out,
+                drop_rate=self.drop_rate,
+                dtype=self.dtype,
+                name="mlp",
+            )(x_norm2, deterministic=deterministic)
+            if not self.dim_mul_in_att and self.dim != self.dim_out:
+                x = nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(x_norm2)
         x = x + dp(x_mlp, deterministic=deterministic)
         return x, thw_new

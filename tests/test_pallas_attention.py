@@ -143,3 +143,32 @@ def test_pick_q_tile_vmem_budget():
     assert 4 * 4 * t * 1664 <= _VMEM_BUDGET
     # tiny query axis rounds down to its own size
     assert _pick_q_tile(1024, 300, 512, live_f32_rows=2) == 512
+
+
+def test_fused_ffn_matches_reference():
+    from svit_tpu.ops import pallas_ffn as pf
+
+    rng = np.random.RandomState(0)
+    B, N, C, H = 2, 300, 64, 256
+    x = jnp.asarray(rng.randn(B, N, C).astype(np.float32) * 0.3)
+    ls = jnp.asarray(1 + rng.randn(C).astype(np.float32) * 0.1)
+    lb = jnp.asarray(rng.randn(C).astype(np.float32) * 0.1)
+    w1 = jnp.asarray(rng.randn(C, H).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(rng.randn(H).astype(np.float32) * 0.05)
+    w2 = jnp.asarray(rng.randn(H, C).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(rng.randn(C).astype(np.float32) * 0.05)
+
+    ref = pf._ffn_reference(x, ls, lb, w1, b1, w2, b2)
+    out = pf.fused_ffn(x, ls, lb, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+    def loss_f(x, ls, w1):
+        return (pf.fused_ffn(x, ls, lb, w1, b1, w2, b2) ** 2).sum()
+
+    def loss_r(x, ls, w1):
+        return (pf._ffn_reference(x, ls, lb, w1, b1, w2, b2) ** 2).sum()
+
+    g1 = jax.grad(loss_f, argnums=(0, 1, 2))(x, ls, w1)
+    g2 = jax.grad(loss_r, argnums=(0, 1, 2))(x, ls, w1)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3)
