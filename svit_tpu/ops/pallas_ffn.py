@@ -127,6 +127,77 @@ def _ffn_reference(x, ln_scale, ln_bias, w1, b1, w2, b2):
     return y.astype(x.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Fused LayerNorm + single Dense (the norm1 -> qkv projection)
+# ---------------------------------------------------------------------------
+
+def _ln_dense_kernel(x_ref, ls_ref, lb_ref, w_ref, b_ref, o_ref):
+    x = x_ref[0].astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    xn = (x - mean) * jax.lax.rsqrt(var + _EPS)
+    xn = xn * ls_ref[0] + lb_ref[0]
+    y = jnp.dot(
+        xn.astype(w_ref.dtype), w_ref[...], preferred_element_type=jnp.float32
+    ) + b_ref[0]
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _ln_dense_forward(x, ln_scale, ln_bias, w, b,
+                      interpret: Optional[bool] = None):
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, N, C = x.shape
+    O = w.shape[1]
+    n_tile = _pick_n_tile(N, C, O, w.size * w.dtype.itemsize)
+    N_pad = _round_up(N, n_tile)
+    if N_pad != N:
+        x = jnp.pad(x, ((0, 0), (0, N_pad - N), (0, 0)))
+    out = pl.pallas_call(
+        _ln_dense_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, N_pad, O), x.dtype),
+        grid=(B, N_pad // n_tile),
+        in_specs=[
+            pl.BlockSpec((1, n_tile, C), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, C), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, i: (0, 0)),
+            pl.BlockSpec((C, O), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, O), lambda b, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, n_tile, O), lambda b, i: (b, i, 0)),
+        interpret=interpret,
+    )(x, ln_scale.reshape(1, C), ln_bias.reshape(1, C), w, b.reshape(1, O))
+    return out[:, :N]
+
+
+def _ln_dense_reference(x, ln_scale, ln_bias, w, b):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + _EPS) * ln_scale + ln_bias
+    y = jnp.dot(
+        xn.astype(w.dtype), w, preferred_element_type=jnp.float32
+    ) + b
+    return y.astype(x.dtype)
+
+
+@jax.custom_vjp
+def fused_ln_dense(x, ln_scale, ln_bias, w, b):
+    return _ln_dense_forward(x, ln_scale, ln_bias, w, b)
+
+
+def _lnd_fwd(x, ln_scale, ln_bias, w, b):
+    return _ln_dense_forward(x, ln_scale, ln_bias, w, b), (x, ln_scale, ln_bias, w, b)
+
+
+def _lnd_bwd(res, g):
+    _, vjp = jax.vjp(_ln_dense_reference, *res)
+    return vjp(g)
+
+
+fused_ln_dense.defvjp(_lnd_fwd, _lnd_bwd)
+
+
 @jax.custom_vjp
 def fused_ffn(x, ln_scale, ln_bias, w1, b1, w2, b2):
     return _ffn_forward(x, ln_scale, ln_bias, w1, b1, w2, b2)

@@ -172,3 +172,25 @@ def test_fused_ffn_matches_reference():
     g2 = jax.grad(loss_r, argnums=(0, 1, 2))(x, ls, w1)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3)
+
+
+def test_fused_ln_dense_matches_reference():
+    """fused_ln_dense is kept for future block-fusion work (wiring it at the
+    norm1->qkv boundary measured perf-neutral: XLA already fuses LN into the
+    matmul prologue there)."""
+    from svit_tpu.ops import pallas_ffn as pf
+
+    rng = np.random.RandomState(1)
+    B, N, C, O = 2, 200, 64, 192
+    x = jnp.asarray(rng.randn(B, N, C).astype(np.float32) * 0.3)
+    ls = jnp.asarray(1 + rng.randn(C).astype(np.float32) * 0.1)
+    lb = jnp.asarray(rng.randn(C).astype(np.float32) * 0.1)
+    w = jnp.asarray(rng.randn(C, O).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.randn(O).astype(np.float32) * 0.05)
+    ref = pf._ln_dense_reference(x, ls, lb, w, b)
+    out = pf.fused_ln_dense(x, ls, lb, w, b)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+    g1 = jax.grad(lambda x: (pf.fused_ln_dense(x, ls, lb, w, b) ** 2).sum())(x)
+    g2 = jax.grad(lambda x: (pf._ln_dense_reference(x, ls, lb, w, b) ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-3, atol=1e-3)
