@@ -1,0 +1,162 @@
+"""Executed tensor-parallel evidence on the virtual 8-device CPU mesh.
+
+Round-1 gap: ``TPU.MESH_MODEL=2`` sharding rules existed but were never run
+by the suite. These tests execute every ``_param_spec`` branch
+(svit_tpu/parallel/mesh.py) and pin TP numerics against replicated execution:
+
+- model=2 sharded forward == replicated forward (bitwise-tolerant golden)
+- fused train step on a data=4 x model=2 mesh == data=8 x model=1 metrics
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from svit_tpu.config import assert_and_infer_cfg, get_cfg
+from svit_tpu.models import build_model, losses
+from svit_tpu.models.optimizer import construct_optimizer
+from svit_tpu.parallel import mesh as meshlib
+
+
+def _tiny_cfg():
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "SViT"
+    cfg.MODEL.NUM_CLASSES = 5
+    cfg.MODEL.LOSS_FUNC = "video_image_loss"
+    cfg.MODEL.DROPOUT_RATE = 0.0
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.TRAIN_CROP_SIZE = 32
+    cfg.DATA.TEST_CROP_SIZE = 32
+    cfg.MVIT.DEPTH = 2
+    cfg.MVIT.EMBED_DIM = 32
+    cfg.MVIT.NUM_HEADS = 1
+    cfg.MVIT.PATCH_KERNEL = [3, 7, 7]
+    cfg.MVIT.PATCH_STRIDE = [2, 4, 4]
+    cfg.MVIT.PATCH_PADDING = [1, 3, 3]
+    cfg.MVIT.POOL_KVQ_KERNEL = [3, 3, 3]
+    cfg.MVIT.POOL_KV_STRIDE_ADAPTIVE = [1, 2, 2]
+    cfg.MVIT.POOL_Q_STRIDE = [[0, 1, 1, 1], [1, 1, 2, 2]]
+    cfg.MVIT.DIM_MUL = [[1, 2.0]]
+    cfg.MVIT.HEAD_MUL = [[1, 2.0]]
+    cfg.MVIT.REL_POS_SPATIAL = True
+    cfg.MVIT.REL_POS_TEMPORAL = True
+    cfg.MVIT.RESIDUAL_POOLING = True
+    cfg.MVIT.DIM_MUL_IN_ATT = True
+    cfg.MVIT.USE_ABS_POS = False
+    cfg.MVIT.DROPPATH_RATE = 0.0
+    cfg.TRAIN.MIXED_PRECISION = False
+    cfg.SOLVER.OPTIMIZING_METHOD = "adamw"
+    cfg.SOLVER.BASE_LR = 1e-3
+    cfg.SOLVER.CLIP_GRAD_L2NORM = 1.0
+    cfg.NUM_GPUS = 2
+    cfg.IMAGE_TRAIN.GPU_IDS = [1]
+    return assert_and_infer_cfg(cfg)
+
+
+def _init_params(model, x):
+    return model.init({"params": jax.random.PRNGKey(0)}, x, deterministic=True)[
+        "params"
+    ]
+
+
+def _batches(cfg, n_video, n_image):
+    S, T = cfg.DATA.TRAIN_CROP_SIZE, cfg.DATA.NUM_FRAMES
+    rng = np.random.RandomState(0)
+    video = {
+        "clips": jnp.asarray(rng.randn(n_video, T, S, S, 3), jnp.float32),
+        "labels": jnp.asarray(rng.randint(0, 5, (n_video,)), jnp.int32),
+        "weight": jnp.ones((n_video,), jnp.float32),
+    }
+    image = {
+        "frames": jnp.asarray(rng.randn(n_image, 1, S, S, 3), jnp.float32),
+        "haog_bboxes": jnp.asarray(
+            rng.rand(n_image, 1, cfg.SVIT.O, 4) * 0.5 + 0.1, jnp.float32
+        ),
+        "contact_state": jnp.asarray(rng.randint(-1, 5, (n_image, 2)), jnp.int32),
+        "weight": jnp.ones((n_image,), jnp.float32),
+    }
+    return video, image
+
+
+def test_param_spec_branches_are_exercised():
+    """model=2 sharding must actually shard fc1/fc2 (not silently replicate)."""
+    cfg = _tiny_cfg()
+    model, _ = build_model(cfg)
+    x = jnp.zeros((1, cfg.DATA.NUM_FRAMES, 32, 32, 3))
+    params = _init_params(model, x)
+    mesh = meshlib.build_mesh(data=4, model=2)
+    shardings = meshlib.param_sharding(mesh, params)
+
+    specs = jax.tree.leaves(
+        jax.tree.map(lambda s: tuple(s.spec), shardings,
+                     is_leaf=lambda s: isinstance(s, NamedSharding))
+    )
+    flat = jax.tree_util.tree_leaves_with_path(shardings)
+    col = [p for p, s in flat if "fc1" in jax.tree_util.keystr(p)
+           and "model" in str(s.spec)]
+    row = [p for p, s in flat if "fc2" in jax.tree_util.keystr(p)
+           and "model" in str(s.spec)]
+    assert col, "no fc1 (column-parallel) param was sharded on the model axis"
+    assert row, "no fc2 (row-parallel) param was sharded on the model axis"
+
+
+def test_tp2_forward_matches_replicated():
+    cfg = _tiny_cfg()
+    model, _ = build_model(cfg)
+    x = jnp.asarray(np.random.RandomState(1).randn(4, cfg.DATA.NUM_FRAMES, 32, 32, 3),
+                    jnp.float32)
+    params = _init_params(model, x[:1])
+
+    def fwd(p, x):
+        logits, _ = model.apply({"params": p}, x, deterministic=True)
+        return logits
+
+    ref = jax.jit(fwd)(params, x)
+
+    mesh = meshlib.build_mesh(data=4, model=2)
+    with mesh:
+        shardings = meshlib.param_sharding(mesh, params)
+        p_sh = jax.device_put(params, shardings)
+        x_sh = jax.device_put(x, meshlib.data_sharding(mesh))
+        out = jax.jit(fwd, out_shardings=meshlib.replicated(mesh))(p_sh, x_sh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_tp2_train_step_matches_dp8():
+    """Fused video+image train step: data=4 x model=2 == data=8 metrics."""
+    from svit_tpu.engine import steps
+
+    cfg = _tiny_cfg()
+    cfg.SVIT.CONSISTENCY_LOSS = "l1"
+    model, _ = build_model(cfg)
+    loss_obj = losses.get_loss_func(cfg)
+    tx, _ = construct_optimizer(cfg, steps_per_epoch=10)
+    x0 = jnp.zeros((1, cfg.DATA.NUM_FRAMES, 32, 32, 3))
+    params = _init_params(model, x0)
+    video, image = _batches(cfg, 8, 8)
+
+    train_step = steps.make_train_step(
+        model, loss_obj, tx, video_weight=0.5, image_weight=0.5,
+        with_image=True, with_consistency=True,
+    )
+
+    results = {}
+    for name, (d, m) in {"dp8": (8, 1), "tp2": (4, 2)}.items():
+        mesh = meshlib.build_mesh(data=d, model=m)
+        with mesh:
+            shardings = meshlib.param_sharding(mesh, params)
+            state = steps.create_train_state(
+                jax.device_put(params, shardings), tx)
+            v = jax.device_put(video, meshlib.data_sharding(mesh))
+            i = jax.device_put(image, meshlib.data_sharding(mesh))
+            state, metrics = jax.jit(train_step)(
+                state, v, i, jax.random.PRNGKey(0))
+            results[name] = {k: float(v) for k, v in metrics.items()
+                             if jnp.ndim(v) == 0}
+    for k in results["dp8"]:
+        np.testing.assert_allclose(
+            results["tp2"][k], results["dp8"][k], rtol=2e-4, atol=1e-5,
+            err_msg=f"metric {k} diverges between dp8 and tp2",
+        )
