@@ -142,11 +142,20 @@ class Loader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        return self.iter_batches(0)
+
+    def iter_batches(self, start_iter: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """Iterate from batch ``start_iter`` onward (mid-epoch resume).
+
+        Skipped batches are never fetched/decoded; the epoch's batch order is
+        deterministic given (seed, epoch), so the resumed stream is identical
+        to the uninterrupted one.
+        """
         indices = self._indices()
         n_batches = len(self)
         batches = [
             indices[i * self.batch_size : (i + 1) * self.batch_size]
-            for i in range(n_batches)
+            for i in range(start_iter, n_batches)
         ]
 
         if self.num_workers <= 0:
@@ -199,12 +208,10 @@ def construct_loader(cfg, split: str, mesh_data: int = 1):
 
     if split == "train":
         video_ds = build_dataset(cfg.TRAIN.DATASET, cfg, "train")
-        # repeated augmentation multiplies the effective batch
-        num_sample = (
-            cfg.AUG.NUM_SAMPLE
-            if cfg.AUG.ENABLE and cfg.TRAIN.DATASET == "kinetics"
-            else 1
-        )
+        # Repeated augmentation multiplies the effective batch. The dataset
+        # itself declares its per-item multiplicity (reference applies the
+        # multi-sample collate for any train dataset, loader.py:154-156).
+        num_sample = int(getattr(video_ds, "samples_per_item", 1))
         video_loader = Loader(
             video_ds,
             cfg.TRAIN.BATCH_SIZE,

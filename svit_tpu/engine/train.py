@@ -123,9 +123,9 @@ class _PreemptionGuard:
     """Save-and-exit on SIGTERM (TPU preemption signal).
 
     The reference has no elastic story beyond auto-resume after a crash
-    (SURVEY §5.3); on TPU preemptions are routine, so the epoch loop polls
-    this flag and checkpoints before exiting, making auto-resume lossless at
-    epoch granularity.
+    (SURVEY §5.3); on TPU preemptions are routine, so the train loop polls
+    this flag after EVERY optimizer step and checkpoints mid-epoch before
+    exiting — auto-resume continues at the exact iteration (0 steps lost).
     """
 
     def __init__(self):
@@ -171,6 +171,7 @@ def train(cfg):
         state = trainer.fresh_state()
 
         start_epoch = 0
+        start_iter = 0
         last = cu.get_last_checkpoint(cfg.OUTPUT_DIR) if cfg.TRAIN.AUTO_RESUME else None
         if last:
             restored, epoch = cu.load_train_state(last, state)
@@ -179,8 +180,16 @@ def train(cfg):
                 params=jax.device_put(restored["params"], trainer.param_shardings),
                 opt_state=restored["opt_state"],
             )
-            start_epoch = epoch + 1
-            logger.info("Auto-resumed from %s (epoch %d)", last, epoch)
+            step_in_epoch = int(restored.get("step_in_epoch", -1))
+            if step_in_epoch >= 0:
+                # mid-epoch (preemption) save: continue inside this epoch
+                start_epoch, start_iter = epoch, step_in_epoch
+            else:
+                start_epoch = epoch + 1
+            logger.info(
+                "Auto-resumed from %s (epoch %d, iter %d)", last, start_epoch,
+                start_iter,
+            )
         elif cfg.TRAIN.CHECKPOINT_FILE_PATH:
             loaded = cu.load_params_any(cfg.TRAIN.CHECKPOINT_FILE_PATH, cfg=cfg)
             merged = cu.shape_filtered_merge(
@@ -237,6 +246,7 @@ def train(cfg):
                 )
                 cu.save_checkpoint(cfg.OUTPUT_DIR, state, cur_epoch - 1, cfg)
                 break
+            epoch_start_iter, start_iter = start_iter, 0
             if multigrid is not None and multigrid.schedule is not None:
                 cfg, changed = multigrid.update_long_cycle(cfg, cur_epoch)
                 if changed:
@@ -249,11 +259,22 @@ def train(cfg):
             epoch_timer.epoch_tic()
             if profile_dir and cur_epoch == start_epoch:
                 jax.profiler.start_trace(profile_dir)
-            state = train_epoch(
-                cfg, trainer, state, train_meter, cur_epoch, rng
+            state, preempted_at = train_epoch(
+                cfg, trainer, state, train_meter, cur_epoch, rng,
+                start_iter=epoch_start_iter, guard=guard,
             )
             if profile_dir and cur_epoch == start_epoch:
                 jax.profiler.stop_trace()
+            if preempted_at is not None:
+                logger.warning(
+                    "SIGTERM received: checkpointing mid-epoch %d (iter %d) "
+                    "and exiting", cur_epoch, preempted_at,
+                )
+                cu.save_checkpoint(
+                    cfg.OUTPUT_DIR, state, cur_epoch, cfg,
+                    step_in_epoch=preempted_at,
+                )
+                break
             epoch_timer.epoch_toc()
             logger.info(
                 "Epoch %d took %.2fs (avg %.2fs, median %.2fs)",
@@ -273,10 +294,19 @@ def train(cfg):
     return state
 
 
-def train_epoch(cfg, trainer, state, train_meter, cur_epoch, rng):
-    image_iter = (
-        iter(trainer.image_loader) if trainer.image_loader is not None else None
-    )
+def train_epoch(cfg, trainer, state, train_meter, cur_epoch, rng,
+                start_iter: int = 0, guard=None):
+    """One epoch from ``start_iter``; polls ``guard`` after every step.
+
+    Returns ``(state, preempted_at)`` — ``preempted_at`` is the number of
+    completed iterations when SIGTERM arrived (caller saves a mid-epoch
+    checkpoint losing <= 0 steps), or None if the epoch finished.
+    """
+    image_iter = None
+    if trainer.image_loader is not None:
+        image_iter = trainer.image_loader.iter_batches(
+            start_iter % max(len(trainer.image_loader), 1)
+        )
     mixup_fn = None
     if cfg.MIXUP.ENABLE:
         from svit_tpu.data.mixup import MixUp
@@ -292,7 +322,9 @@ def train_epoch(cfg, trainer, state, train_meter, cur_epoch, rng):
             rng=np.random.default_rng(cfg.RNG_SEED + cur_epoch),
         )
     train_meter.iter_tic()
-    for cur_iter, video_batch in enumerate(trainer.train_loader):
+    for cur_iter, video_batch in enumerate(
+        trainer.train_loader.iter_batches(start_iter), start=start_iter
+    ):
         if mixup_fn is not None:
             clips, soft = mixup_fn(video_batch["clips"], video_batch["labels"])
             video_batch = dict(video_batch, clips=clips, labels=soft)
@@ -324,10 +356,13 @@ def train_epoch(cfg, trainer, state, train_meter, cur_epoch, rng):
         )
         train_meter.iter_toc()
         train_meter.log_iter_stats(cur_epoch, cur_iter)
+        if guard is not None and guard.fired:
+            train_meter.reset()
+            return state, cur_iter + 1
         train_meter.iter_tic()
     train_meter.log_epoch_stats(cur_epoch)
     train_meter.reset()
-    return state
+    return state, None
 
 
 def eval_epoch(cfg, trainer, state, val_meter, cur_epoch):

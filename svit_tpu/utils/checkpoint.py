@@ -34,8 +34,17 @@ def checkpoint_dir(path_to_job: str) -> str:
     return os.path.join(path_to_job, _DIR)
 
 
-def checkpoint_path(path_to_job: str, epoch: int) -> str:
-    return os.path.join(checkpoint_dir(path_to_job), f"checkpoint_epoch_{epoch:05d}")
+def checkpoint_path(
+    path_to_job: str, epoch: int, step_in_epoch: Optional[int] = None
+) -> str:
+    name = f"checkpoint_epoch_{epoch:05d}"
+    if step_in_epoch is not None:
+        # Mid-epoch (preemption) save: epoch NOT complete, the first
+        # ``step_in_epoch`` iterations of epoch ``epoch`` are done. The plain
+        # epoch name is a lexicographic prefix of this one, so the sorted
+        # get_last_checkpoint order stays correct.
+        name += f"_step_{step_in_epoch:08d}"
+    return os.path.join(checkpoint_dir(path_to_job), name)
 
 
 def get_last_checkpoint(path_to_job: str) -> Optional[str]:
@@ -57,11 +66,22 @@ def is_checkpoint_epoch(cfg, cur_epoch: int) -> bool:
     ) % cfg.TRAIN.CHECKPOINT_PERIOD == 0 or cur_epoch + 1 == cfg.SOLVER.MAX_EPOCH
 
 
-def save_checkpoint(path_to_job: str, state, epoch: int, cfg) -> str:
-    """Save {params, opt_state, step, epoch, cfg-dump} via orbax."""
+def save_checkpoint(
+    path_to_job: str, state, epoch: int, cfg, step_in_epoch: Optional[int] = None
+) -> str:
+    """Save {params, opt_state, step, epoch, cfg-dump} via orbax.
+
+    ``step_in_epoch`` marks a mid-epoch (preemption) save: epoch ``epoch`` is
+    incomplete with that many leading iterations already applied; resume
+    continues inside the same epoch. ``None`` means the epoch completed.
+    """
     import orbax.checkpoint as ocp
 
-    path = os.path.abspath(checkpoint_path(path_to_job, epoch + 1))
+    if step_in_epoch is None:
+        path = checkpoint_path(path_to_job, epoch + 1)
+    else:
+        path = checkpoint_path(path_to_job, epoch, step_in_epoch)
+    path = os.path.abspath(path)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(
@@ -71,6 +91,7 @@ def save_checkpoint(path_to_job: str, state, epoch: int, cfg) -> str:
                 "opt_state": jax.device_get(state.opt_state),
                 "step": int(state.step),
                 "epoch": epoch,
+                "step_in_epoch": -1 if step_in_epoch is None else step_in_epoch,
             },
         )
     with open(os.path.join(path, "cfg.yaml"), "w") as f:
@@ -81,7 +102,8 @@ def save_checkpoint(path_to_job: str, state, epoch: int, cfg) -> str:
 
 def load_train_state(path: str, abstract_state) -> Tuple[Any, int]:
     """Restore a train state saved by ``save_checkpoint``; returns
-    (state_dict, epoch)."""
+    (state_dict, epoch). ``state_dict["step_in_epoch"]`` >= 0 marks a
+    mid-epoch save (that many iterations of ``epoch`` already applied)."""
     import orbax.checkpoint as ocp
 
     template = {
@@ -89,9 +111,16 @@ def load_train_state(path: str, abstract_state) -> Tuple[Any, int]:
         "opt_state": jax.device_get(abstract_state.opt_state),
         "step": 0,
         "epoch": 0,
+        "step_in_epoch": -1,
     }
     with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(os.path.abspath(path), template)
+        try:
+            restored = ckptr.restore(os.path.abspath(path), template)
+        except BaseException:
+            # pre-step-granular checkpoints lack the step_in_epoch leaf
+            del template["step_in_epoch"]
+            restored = ckptr.restore(os.path.abspath(path), template)
+            restored = dict(restored, step_in_epoch=-1)
     return restored, int(restored["epoch"])
 
 

@@ -69,3 +69,12 @@ def test_worker_error_propagates(root):
     })()
     with pytest.raises(Exception):
         list(loader)
+
+
+def test_iter_batches_resumes_mid_epoch(root):
+    full = list(_loader(root, num_workers=0))
+    tail = list(_loader(root, num_workers=0).iter_batches(1))
+    assert len(tail) == len(full) - 1
+    for a, b in zip(full[1:], tail):
+        np.testing.assert_array_equal(a["index"], b["index"])
+        np.testing.assert_allclose(a["clips"], b["clips"])

@@ -103,3 +103,41 @@ def test_multiview_test_engine(tiny_env):
     stats = run_test(cfg)
     assert "top1_acc" in stats
     assert 0.0 <= float(stats["top1_acc"]) <= 100.0
+
+
+def test_midepoch_preemption_resumes_at_step(tiny_env, tmp_path, monkeypatch):
+    """SIGTERM mid-epoch saves a step-granular checkpoint; resume loses 0 steps."""
+    root, _ = tiny_env
+    out = str(tmp_path / "preempt_out")
+    cfg = _tiny_cfg(root, out)
+    cfg.SOLVER.MAX_EPOCH = 2
+
+    class FakeGuard:
+        """fired becomes True at the 5th poll: epoch0 top, e0 it0, e0 it1,
+        epoch1 top, e1 it0 -> preempt after the 1st step of epoch 1."""
+
+        def __init__(self):
+            self.checks = 0
+
+        @property
+        def fired(self):
+            self.checks += 1
+            return self.checks > 4
+
+        def restore(self):
+            pass
+
+    import svit_tpu.engine.train as train_mod
+
+    monkeypatch.setattr(train_mod, "_PreemptionGuard", FakeGuard)
+    state = train_mod.train(cfg)
+    assert int(state.step) == 3  # 2 steps of epoch 0 + 1 step of epoch 1
+    ckpts = sorted(glob.glob(os.path.join(out, "checkpoints", "checkpoint_epoch_*")))
+    assert ckpts and ckpts[-1].endswith("checkpoint_epoch_00001_step_00000001"), ckpts
+
+    # resume WITHOUT the fake guard: finishes epoch 1 exactly (one more step)
+    monkeypatch.undo()
+    cfg2 = _tiny_cfg(root, out)
+    cfg2.SOLVER.MAX_EPOCH = 2
+    state2 = train_mod.train(cfg2)
+    assert int(state2.step) == 4  # zero steps lost, zero steps repeated
