@@ -38,6 +38,10 @@ class Kinetics:
         self._construct()
         self.aug = mode == "train" and cfg.AUG.ENABLE
         self.rand_erase = self.aug and cfg.AUG.RE_PROB > 0
+        # Repeated augmentation: __getitem__ returns this many samples per
+        # item (reference kinetics.py:290-295). The loader reads this to size
+        # its padded batches for ANY dataset (reference loader.py:154-156).
+        self.samples_per_item = cfg.AUG.NUM_SAMPLE if self.aug else 1
 
     def _construct(self):
         csv_name = {"train": "train", "val": "val", "test": "test"}[self.mode]

@@ -166,10 +166,13 @@ def make_eval_step(model, num_classes: int):
         c1 = (correct[:, :k1].any(axis=1) * w).sum()
         c5 = (correct.any(axis=1) * w).sum()
         # eval-mode loss (reference re-runs the loss fn at val,
-        # meters.py:869-883); eval logits are softmax'd -> use log directly
+        # meters.py:869-883); log_softmax on pre-activation logits is the
+        # numerically stable form (log(softmax(x)) prints inf for a
+        # confident-wrong bf16 prediction).
         safe = jnp.clip(batch["labels"], 0, max(num_classes - 1, 0))
-        p = jnp.take_along_axis(logits, safe[:, None], axis=-1)[:, 0]
-        nll = -jnp.log(jnp.maximum(p, 1e-12))
+        raw = extra.get("raw_logits", logits)
+        logp = jax.nn.log_softmax(raw.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, safe[:, None], axis=-1)[:, 0]
         val_loss = (nll * w).sum() / jnp.maximum(w.sum(), 1.0)
         return {
             "logits": logits,

@@ -259,6 +259,9 @@ class SViTHead(nn.Module):
             logits = jnp.zeros(cls_tok.shape[:-1] + (0,), dtype=cls_tok.dtype)
         else:
             logits = nn.Dense(nc, dtype=self.dtype, name="projection")(cls_tok)
+            # Pre-activation logits for numerically stable eval losses
+            # (log_softmax on logits instead of log(softmax(logits))).
+            extra_preds["raw_logits"] = logits
             if deterministic:
                 logits = _head_act(logits, arch.head_act)
 
