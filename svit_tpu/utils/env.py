@@ -2,6 +2,30 @@
 
 import os
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+DEFAULT_CACHE_DIR = os.path.join(_REPO_ROOT, ".jax_cache")
+
+
+def enable_compilation_cache(cache_dir: str = None) -> None:
+    """Enable JAX's persistent compilation cache (idempotent).
+
+    Standard practice for TPU deployments: large train-step compiles are
+    AOT-cached on disk, so process restarts (preemption resume, the driver's
+    multichip dryrun, repeated CLI invocations) skip the multi-minute XLA
+    compile.  The repo ships a warmed cache for the dryrun path.
+    Safe to call after jax import; a corrupt/foreign cache only causes
+    misses, never failures.
+    """
+    import jax
+
+    cache_dir = cache_dir or os.environ.get("SVIT_JAX_CACHE_DIR", DEFAULT_CACHE_DIR)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older jaxlib without the persistent cache: no-op
+
 
 def apply_jax_platform_env() -> None:
     """Honor ``JAX_PLATFORMS`` even on jaxlibs that pin a platform.
