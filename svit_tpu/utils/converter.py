@@ -58,6 +58,24 @@ def _set(tree: dict, path: list, value: np.ndarray):
     node[path[-1]] = value
 
 
+def flip_input_channels(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Reverse the patch-stem's input-channel axis (BGR <-> RGB), in torch
+    layout [out, in, (kT,) kH, kW].
+
+    The reference's data pipeline feeds cv2-decoded frames and never swaps
+    the channel order (``slowfast/datasets/utils.py:20-48`` cv2.imdecode ->
+    BGR straight into normalize), so released checkpoints expect BGR input.
+    svit_tpu's pipeline is RGB-native; flipping the stem kernel's in-channel
+    axis makes ``conv(rgb, flipped_w) == conv(bgr, w)`` exactly.  Valid
+    whenever DATA.MEAN/STD are channel-uniform (they are in every shipped
+    recipe: 0.45/0.225), since normalization then commutes with the flip.
+    """
+    out = dict(state)
+    w = out["patch_embed.proj.weight"]
+    out["patch_embed.proj.weight"] = np.ascontiguousarray(w[:, ::-1])
+    return out
+
+
 def torch_to_flax(state: Dict[str, np.ndarray], separate_qkv: bool = False) -> dict:
     """Map a torch SViT state_dict onto the svit_tpu flax param tree."""
     params: dict = {}

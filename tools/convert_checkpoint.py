@@ -24,6 +24,14 @@ def main():
         help="convert an orbax checkpoint back to a torch state_dict (.pyth)",
     )
     p.add_argument("--separate-qkv", action="store_true")
+    p.add_argument(
+        "--input-order", choices=["bgr", "rgb"], default="bgr",
+        help="channel order the torch checkpoint was trained with. The "
+        "reference pipeline feeds cv2-BGR frames (never converted), so "
+        "released .pyth checkpoints are 'bgr' (default): the stem kernel's "
+        "input channels are flipped so svit_tpu's RGB pipeline is exact. "
+        "Use 'rgb' for checkpoints trained with an RGB pipeline.",
+    )
     args = p.parse_args()
 
     from svit_tpu.utils import converter
@@ -36,6 +44,9 @@ def main():
             restored = ckptr.restore(os.path.abspath(args.input))
         params = restored.get("params", restored)
         state = converter.flax_to_torch({"params": params})
+        if args.input_order == "bgr":
+            # exporting back to the reference's BGR-input convention
+            state = converter.flip_input_channels(state)
         torch.save(
             {"model_state": {k: torch.from_numpy(v) for k, v in state.items()}},
             args.output,
@@ -45,6 +56,8 @@ def main():
         import orbax.checkpoint as ocp
 
         state = converter.load_torch_state(args.input)
+        if args.input_order == "bgr":
+            state = converter.flip_input_channels(state)
         tree = converter.torch_to_flax(state, separate_qkv=args.separate_qkv)
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(os.path.abspath(args.output), tree)
