@@ -1,18 +1,28 @@
-"""Pooled multiscale attention over [cls | patch-grid | object] tokens.
+"""Pooled multiscale attention over separate (patch-grid | cls+object) streams.
 
 TPU-native redesign of reference ``slowfast/models/attention.py:186-571``
 (``MultiScaleAttention`` / ``MultiScaleBlock``).  Differences from the torch
 implementation are purely in *how*, never in *what*:
 
+- **Separate-stream token layout**: instead of one concatenated
+  ``[cls | T*H*W | O*T]`` sequence that every pooling path must slice apart and
+  re-concatenate (measured at ~40% of forward wall-time in HBM copies/pads/
+  slices), the residual stream is carried as two tensors — the patch grid
+  ``[B, T, H, W, C]`` (channels-last, XLA's native conv layout) and the tiny
+  ``extras [B, 1+O*T, C]`` (cls + object tokens).  Attention keys/values are
+  ``[patches | extras]``; softmax is permutation-invariant w.r.t. key order,
+  so this matches the reference's joint attention exactly.
 - channels-last layouts, all matmuls with f32 accumulation on the MXU;
+- the fused qkv projection keeps its single ``[C, 3C]`` parameter (checkpoint
+  compatible) but is applied as three weight-sliced matmuls — slicing the
+  weights (KB) instead of the activations (155MB/block at the stem);
 - object-token conv pooling folded to an exact per-channel multiplier
   (see ``svit_tpu/ops/pooling.py``);
-- rel-pos bias added via fused broadcasts (``svit_tpu/ops/rel_pos.py``)
-  instead of in-place sub-block mutation;
+- decomposed rel-pos bias enters the kernel through a scatter-matmul
+  (``svit_tpu/ops/pallas_attention.py``); extras queries attend bias-free via
+  a tiny XLA attention sharing the same K/V (reference gives cls/object query
+  rows zero bias: ``attention.py:84-183`` only touches the patch block);
 - softmax in f32, everything else in the configured compute dtype.
-
-The fused Pallas attention kernel (svit_tpu/ops/pallas_attention.py) slots in
-behind the same interface for the perf path.
 """
 
 from __future__ import annotations
@@ -20,18 +30,23 @@ from __future__ import annotations
 from typing import Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from svit_tpu.models.common import DropPath, LayerNorm, Mlp
-from svit_tpu.ops import pooling, rel_pos
+from svit_tpu.models.common import LayerNorm, Mlp
+from svit_tpu.ops import pooling
 
 Triple = Tuple[int, int, int]
+
+# Routing switch for the pooling implementation under use_pallas (module-level
+# so profiling tools can ablate the fused pool kernel specifically).
+POOL_PALLAS = True
 
 
 class _DenseParams(nn.Module):
     """Parameter container matching nn.Dense's tree (kernel/bias) and init,
-    for ops computed by fused kernels instead of module calls."""
+    for ops computed by fused or weight-sliced kernels instead of module calls."""
 
     dim_in: int
     dim_out: int
@@ -91,8 +106,6 @@ class _GroupedLayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        import jax
-
         shape = x.shape
         orig_dtype = x.dtype
         h = shape[-1] // self.head_dim
@@ -106,13 +119,28 @@ class _GroupedLayerNorm(nn.Module):
         return y.astype(orig_dtype).reshape(shape)
 
 
-class _PoolPath(nn.Module):
-    """One q/k/v pooling path: depthwise conv (or max/avg) + per-head LN.
+def _grouped_ln_apply(x, scale, bias, head_dim: int, epsilon: float = 1e-6):
+    """Functional per-head LN (same math as _GroupedLayerNorm.__call__)."""
+    shape = x.shape
+    h = shape[-1] // head_dim
+    xf = x.reshape(*shape[:-1], h, head_dim).astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + epsilon) * scale + bias
+    return y.astype(x.dtype).reshape(shape)
 
-    Operates in the merged [B, L, heads*head_dim] layout: the reference's
-    per-head depthwise conv (shared kernel across heads,
-    ``attention.py:258-304``) is one conv with the kernel tiled across the
-    head axis — no head-split reshapes/copies on the hot path.
+
+class _PoolPath(nn.Module):
+    """One q/k/v pooling path over the (grid, extras) streams.
+
+    conv mode: depthwise conv on the grid (the reference's per-head conv with
+    the kernel tiled across heads — no head-split copies), the exact
+    per-channel multiplier on object tokens, cls passthrough, then per-head LN
+    on both streams (the reference norms the full pooled sequence).  On TPU
+    the grid's conv+LN runs as one fused Pallas pass
+    (``svit_tpu/ops/pallas_pool.py``).
+    max/avg: grid pooled, extras pass through (reference only routes objects
+    through a Conv3d pool).
     """
 
     mode: str                    # 'conv' | 'max' | 'avg'
@@ -120,14 +148,12 @@ class _PoolPath(nn.Module):
     num_heads: int
     kernel: Triple
     stride: Triple
-    num_obj: int
     has_cls: bool
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, thw):
-        conv_kernel = None
-        norm = None
+    def __call__(self, grid, extras):
         if self.mode == "conv":
             conv_kernel = self.param(
                 "pool_kernel",
@@ -137,20 +163,52 @@ class _PoolPath(nn.Module):
             )
             if self.num_heads > 1:
                 conv_kernel = jnp.tile(conv_kernel, (1, 1, 1, 1, self.num_heads))
-            norm = _GroupedLayerNorm(
-                head_dim=self.head_dim, dtype=self.dtype, name="norm"
-            )
-        return pooling.attention_pool(
-            x,
-            thw,
-            mode=self.mode,
-            kernel=tuple(self.kernel),
-            stride=tuple(self.stride),
-            conv_kernel=conv_kernel,
-            num_obj=self.num_obj,
-            has_cls=self.has_cls,
-            norm=norm,
-        )
+            mult = pooling.conv_obj_multiplier(
+                conv_kernel, tuple(self.stride)
+            ).astype(extras.dtype)
+            if self.has_cls:
+                extras = jnp.concatenate(
+                    [extras[:, :1], extras[:, 1:] * mult], axis=1
+                )
+            else:
+                extras = extras * mult
+            if self.use_pallas and POOL_PALLAS:
+                from svit_tpu.ops import pallas_pool
+
+                ln_s, ln_b = _LNParams(self.head_dim, name="norm")()
+                grid = pallas_pool.fused_pool_ln(
+                    grid, conv_kernel, ln_s, ln_b,
+                    tuple(self.kernel), tuple(self.stride), self.head_dim,
+                )
+                extras = _grouped_ln_apply(extras, ln_s, ln_b, self.head_dim)
+            else:
+                grid = pooling.depthwise_conv3d(
+                    grid, conv_kernel, tuple(self.stride)
+                )
+                norm = _GroupedLayerNorm(
+                    head_dim=self.head_dim, dtype=self.dtype, name="norm"
+                )
+                grid = norm(grid)
+                extras = norm(extras)
+        elif self.mode == "max":
+            grid = pooling.max_pool3d(grid, tuple(self.kernel), tuple(self.stride))
+        elif self.mode == "avg":
+            grid = pooling.avg_pool3d(grid, tuple(self.kernel), tuple(self.stride))
+        else:
+            raise NotImplementedError(f"Unsupported pool mode {self.mode}")
+        return grid, extras
+
+
+def _drop_path_pair(grid, extras, prob, rng, deterministic):
+    """Stochastic depth with ONE per-sample mask shared by both streams
+    (the reference drops the whole residual branch per sample)."""
+    if prob == 0.0 or deterministic or rng is None:
+        return grid, extras
+    keep = 1.0 - prob
+    mask = jax.random.bernoulli(rng, keep, (grid.shape[0],))
+    mg = mask.reshape((-1,) + (1,) * (grid.ndim - 1)).astype(grid.dtype)
+    me = mask.reshape((-1,) + (1,) * (extras.ndim - 1)).astype(extras.dtype)
+    return grid / keep * mg, extras / keep * me
 
 
 class MultiScaleAttention(nn.Module):
@@ -158,7 +216,6 @@ class MultiScaleAttention(nn.Module):
     dim_out: int
     num_heads: int
     input_size: Triple           # (T, H, W) token grid at this block
-    num_obj: int                 # O * T object tokens in the sequence
     qkv_bias: bool = True
     kernel_q: Tuple[int, ...] = ()
     kernel_kv: Tuple[int, ...] = ()
@@ -177,61 +234,103 @@ class MultiScaleAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, thw: Triple, deterministic: bool = True):
-        B, N, _ = x.shape
-        head_dim = self.dim_out // self.num_heads
+        grid, extras = x
+        B = grid.shape[0]
+        E = extras.shape[1]
+        heads = self.num_heads
+        head_dim = self.dim_out // heads
+        dim_out = self.dim_out
         scale = head_dim ** -0.5
 
-        heads = self.num_heads
-        # Projections and pooling run in the merged [B, L, heads*hd] layout;
-        # heads are split only at the attention boundary (one small transpose
-        # of the pooled tensors instead of per-path head-major copies).
+        # Projections in stream layout.  The fused qkv keeps one [C, 3C]
+        # parameter (converter-compatible) applied as three weight-sliced
+        # matmuls: weight slices are KB, activation slices would be 100s of MB.
+        # The grid is flattened to rank 3 around the matmul (free reshapes —
+        # channel-minor layout preserved): a rank-5 einsum lowers to a 1x1x1
+        # convolution whose layout assignment derails the depthwise pool convs.
+        gshape = grid.shape
+
+        def on_flat(f, t):
+            if t.ndim == 5:
+                return f(
+                    t.reshape(t.shape[0], -1, t.shape[-1])
+                ).reshape(t.shape[:4] + (-1,))
+            return f(t)
+
         if self.separate_qkv:
-            q = nn.Dense(self.dim_out, use_bias=self.qkv_bias, dtype=self.dtype, name="q")(x)
-            k = nn.Dense(self.dim_out, use_bias=self.qkv_bias, dtype=self.dtype, name="k")(x)
-            v = nn.Dense(self.dim_out, use_bias=self.qkv_bias, dtype=self.dtype, name="v")(x)
+            dq = nn.Dense(dim_out, use_bias=self.qkv_bias, dtype=self.dtype, name="q")
+            dk = nn.Dense(dim_out, use_bias=self.qkv_bias, dtype=self.dtype, name="k")
+            dv = nn.Dense(dim_out, use_bias=self.qkv_bias, dtype=self.dtype, name="v")
+            qg, qe = on_flat(dq, grid), dq(extras)
+            kg, ke = on_flat(dk, grid), dk(extras)
+            vg, ve = on_flat(dv, grid), dv(extras)
         else:
-            qkv = nn.Dense(
-                self.dim_out * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv"
-            )(x)
-            # fused projection output is laid out (3, heads, hd) on the
-            # feature axis — minor-axis slices, no transpose copy
-            q = qkv[..., : self.dim_out]
-            k = qkv[..., self.dim_out : 2 * self.dim_out]
-            v = qkv[..., 2 * self.dim_out :]
+            wk, wb = _DenseParams(grid.shape[-1], dim_out * 3, name="qkv")()
+
+            def sliced(t, i):
+                w = jax.lax.slice_in_dim(
+                    wk, i * dim_out, (i + 1) * dim_out, axis=1
+                ).astype(self.dtype)
+                y = on_flat(
+                    lambda u: jnp.einsum("blc,cd->bld", u.astype(self.dtype), w),
+                    t,
+                )
+                if self.qkv_bias:
+                    y = y + jax.lax.slice_in_dim(
+                        wb, i * dim_out, (i + 1) * dim_out, axis=0
+                    ).astype(self.dtype)
+                return y
+
+            qg, kg, vg = sliced(grid, 0), sliced(grid, 1), sliced(grid, 2)
+            qe, ke, ve = sliced(extras, 0), sliced(extras, 1), sliced(extras, 2)
 
         pool_q_on = _needs_pool(self.kernel_q, self.stride_q)
         pool_kv_on = _needs_pool(self.kernel_kv, self.stride_kv)
 
         q_shape = thw
         if pool_q_on:
-            q, q_shape = _PoolPath(
+            qg, qe = _PoolPath(
                 mode=self.mode, head_dim=head_dim, num_heads=heads,
                 kernel=tuple(self.kernel_q), stride=tuple(self.stride_q),
-                num_obj=self.num_obj, has_cls=self.has_cls,
+                has_cls=self.has_cls, use_pallas=self.use_pallas,
                 dtype=self.dtype, name="pool_q",
-            )(q, thw)
-        k_shape = v_shape = thw
+            )(qg, qe)
+            q_shape = tuple(qg.shape[1:4])
+        k_shape = thw
         if pool_kv_on:
-            k, k_shape = _PoolPath(
+            kg, ke = _PoolPath(
                 mode=self.mode, head_dim=head_dim, num_heads=heads,
                 kernel=tuple(self.kernel_kv), stride=tuple(self.stride_kv),
-                num_obj=self.num_obj, has_cls=self.has_cls,
+                has_cls=self.has_cls, use_pallas=self.use_pallas,
                 dtype=self.dtype, name="pool_k",
-            )(k, thw)
-            v, v_shape = _PoolPath(
+            )(kg, ke)
+            vg, ve = _PoolPath(
                 mode=self.mode, head_dim=head_dim, num_heads=heads,
                 kernel=tuple(self.kernel_kv), stride=tuple(self.stride_kv),
-                num_obj=self.num_obj, has_cls=self.has_cls,
+                has_cls=self.has_cls, use_pallas=self.use_pallas,
                 dtype=self.dtype, name="pool_v",
-            )(v, thw)
+            )(vg, ve)
+            k_shape = tuple(kg.shape[1:4])
 
-        def to_heads(t):
-            # [B, L, heads*hd] -> [B, heads, L, hd]
-            return t.reshape(B, t.shape[1], heads, head_dim).transpose(0, 2, 1, 3)
+        q_l = int(np.prod(q_shape))
+        k_l = int(np.prod(k_shape))
+        n_k = k_l + E
 
-        q = to_heads(q)
-        k = to_heads(k)
-        v = to_heads(v)
+        # Keys/values: [patches | extras] — a tiny concat (K/V are pooled).
+        k_all = jnp.concatenate([kg.reshape(B, k_l, dim_out), ke], axis=1)
+        v_all = jnp.concatenate([vg.reshape(B, k_l, dim_out), ve], axis=1)
+
+        def heads_flat(t):
+            L = t.shape[1]
+            return (
+                t.reshape(B, L, heads, head_dim)
+                .transpose(0, 2, 1, 3)
+                .reshape(B * heads, L, head_dim)
+            )
+
+        qf = heads_flat(qg.reshape(B, q_l, dim_out))
+        kf = heads_flat(k_all)
+        vf = heads_flat(v_all)
 
         rp_h = rp_w = rp_t = None
         if self.rel_pos_spatial:
@@ -257,62 +356,62 @@ class MultiScaleAttention(nn.Module):
                 "rel_pos_t", init, (2 * self.input_size[0] - 1, head_dim), jnp.float32
             )
 
+        from svit_tpu.ops import pallas_attention as pa
+
+        bias_src, scatter = pa.build_bias_inputs_grid(
+            qg, heads, q_shape, k_shape, n_k,
+            rel_pos_h=rp_h, rel_pos_w=rp_w, rel_pos_t=rp_t,
+        )
         if self.use_pallas:
             # Fused kernel: softmax((q*scale)@K^T + bias) @ V without the
             # HBM-resident [Nq, Nk] logits (see ops/pallas_attention.py).
-            from svit_tpu.ops import pallas_attention as pa
-
-            Nq, Nk = q.shape[2], k.shape[2]
-            bias_src, scatter = pa.build_bias_inputs(
-                q, q_shape, k_shape, Nk,
-                has_cls=self.has_cls,
-                rel_pos_h=rp_h, rel_pos_w=rp_w, rel_pos_t=rp_t,
-            )
-            heads = self.num_heads
-            out = pa.fused_attention(
-                (q * scale).reshape(B * heads, Nq, head_dim),
-                k.reshape(B * heads, Nk, head_dim),
-                v.reshape(B * heads, Nk, head_dim),
-                bias_src,
-                scatter,
-            )
-            x = out.reshape(B, heads, Nq, head_dim).astype(self.dtype)
+            og = pa.fused_attention(qf * scale, kf, vf, bias_src, scatter)
         else:
-            # XLA path: logits in f32 (MXU accumulates f32 from bf16 inputs).
-            attn = jnp.einsum(
-                "bhqc,bhkc->bhqk", q * scale, k,
-                preferred_element_type=jnp.float32,
+            og = pa.reference_attention(
+                qf * scale, kf, vf, bias_src, scatter[:, :n_k]
             )
-            attn = rel_pos.add_rel_pos_bias(
-                attn,
-                q.astype(jnp.float32),
-                q_shape,
-                k_shape,
-                has_cls=self.has_cls,
-                rel_pos_h=rp_h,
-                rel_pos_w=rp_w,
-                rel_pos_t=rp_t,
-            )
-            attn = nn.softmax(attn, axis=-1).astype(self.dtype)
-            x = jnp.einsum(
-                "bhqk,bhkc->bhqc", attn, v.astype(self.dtype),
-                preferred_element_type=jnp.float32,
-            ).astype(self.dtype)
+
+        # Extras (cls + object) queries: zero rel-pos bias (reference only
+        # biases the patch block) — a tiny plain attention over the same K/V.
+        qe_h = (qe * scale).reshape(B, E, heads, head_dim).transpose(0, 2, 1, 3)
+        kh = kf.reshape(B, heads, n_k, head_dim)
+        vh = vf.reshape(B, heads, n_k, head_dim)
+        logits_e = jnp.einsum(
+            "bhed,bhkd->bhek", qe_h, kh, preferred_element_type=jnp.float32
+        )
+        pe = jax.nn.softmax(logits_e, axis=-1)
+        oe = jnp.einsum(
+            "bhek,bhkd->bhed", pe.astype(vh.dtype), vh,
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
 
         if self.residual_pooling:
-            # Reference attention.py:455-459: add pooled q to all but the cls row.
-            qc = q.astype(x.dtype)
+            # Reference attention.py:455-459: add pooled q to all but the cls
+            # row — every grid row, and the object rows of extras.
+            og = og + qf.astype(og.dtype)
+            qe_res = qe.reshape(B, E, heads, head_dim).transpose(0, 2, 1, 3)
             if self.has_cls:
-                x = jnp.concatenate([x[:, :, :1], x[:, :, 1:] + qc[:, :, 1:]], axis=2)
+                oe = jnp.concatenate(
+                    [oe[:, :, :1], oe[:, :, 1:] + qe_res[:, :, 1:]], axis=2
+                )
             else:
-                x = x + qc
+                oe = oe + qe_res
 
-        Nq = x.shape[2]
-        x = x.transpose(0, 2, 1, 3).reshape(B, Nq, self.dim_out)
-        x = nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(x)
+        og = (
+            og.reshape(B, heads, q_l, head_dim)
+            .transpose(0, 2, 1, 3)
+            .reshape(B, q_l, dim_out)
+        )
+        oe = oe.transpose(0, 2, 1, 3).reshape(B, E, dim_out)
+
+        proj = nn.Dense(dim_out, dtype=self.dtype, name="proj")
+        og, oe = proj(og), proj(oe)
         if self.drop_rate > 0.0:
-            x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
-        return x, q_shape
+            drop = nn.Dropout(self.drop_rate)
+            og = drop(og, deterministic=deterministic)
+            oe = drop(oe, deterministic=deterministic)
+        og = og.reshape((B,) + tuple(q_shape) + (dim_out,))
+        return (og, oe), q_shape
 
 
 class MultiScaleBlock(nn.Module):
@@ -320,7 +419,6 @@ class MultiScaleBlock(nn.Module):
     dim_out: int
     num_heads: int
     input_size: Triple
-    num_obj: int
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
     drop_rate: float = 0.0
@@ -342,15 +440,16 @@ class MultiScaleBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, thw: Triple, deterministic: bool = True):
+        grid, extras = x
         att_dim = self.dim_out if self.dim_mul_in_att else self.dim
 
-        x_norm = LayerNorm(dtype=self.dtype, name="norm1")(x)
-        x_block, thw_new = MultiScaleAttention(
+        norm1 = LayerNorm(dtype=self.dtype, name="norm1")
+        gn, en = norm1(grid), norm1(extras)
+        (ag, ae), thw_new = MultiScaleAttention(
             dim=self.dim,
             dim_out=att_dim,
             num_heads=self.num_heads,
             input_size=self.input_size,
-            num_obj=self.num_obj,
             qkv_bias=self.qkv_bias,
             kernel_q=self.kernel_q,
             kernel_kv=self.kernel_kv,
@@ -367,61 +466,69 @@ class MultiScaleBlock(nn.Module):
             use_pallas=self.use_pallas,
             dtype=self.dtype,
             name="attn",
-        )(x_norm, thw, deterministic=deterministic)
+        )((gn, en), thw, deterministic=deterministic)
 
         if self.dim_mul_in_att and self.dim != self.dim_out:
-            x = nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(x_norm)
+            proj = nn.Dense(self.dim_out, dtype=self.dtype, name="proj")
+            grid, extras = proj(gn), proj(en)
 
         # Residual skip path: max-pool the patch grid with kernel s+1 where the
-        # q stride is s (reference attention.py:503-505,549-555).  Identity when
-        # the block does not change resolution.
+        # q stride is s (reference attention.py:503-505,549-555); extras pass
+        # through (MaxPool3d never touches cls/objects).  Identity when the
+        # block does not change resolution.
         if self.stride_q and int(np.prod(self.stride_q)) > 1:
             kernel_skip = tuple(s + 1 if s > 1 else s for s in self.stride_q)
-            x_res, _ = pooling.attention_pool(
-                x,
-                thw,
-                mode="max",
-                kernel=kernel_skip,
-                stride=tuple(self.stride_q),
-                num_obj=self.num_obj,
-                has_cls=self.has_cls,
-            )
+            grid_res = pooling.max_pool3d(grid, kernel_skip, tuple(self.stride_q))
         else:
-            x_res = x
+            grid_res = grid
 
-        dp = DropPath(self.drop_path, name="drop_path")
-        x = x_res + dp(x_block, deterministic=deterministic)
+        use_dp = self.drop_path > 0.0 and not deterministic
+        rng1 = self.make_rng("dropout") if use_dp else None
+        ag, ae = _drop_path_pair(ag, ae, self.drop_path, rng1, deterministic)
+        grid = grid_res + ag
+        extras = extras + ae
+
         hidden = int(att_dim * self.mlp_ratio)
-        # Fused LN+MLP kernel: usable whenever norm2's output feeds only the
-        # MLP (the dim_mul_in_att=False dim-change path consumes it too) and
-        # the MLP has no dropout.
+        # Fused LN+MLP kernel on the grid stream: usable whenever norm2's
+        # output feeds only the MLP (the dim_mul_in_att=False dim-change path
+        # consumes it too) and the MLP has no dropout.  Extras run the
+        # numerics-identical XLA reference with the same parameters.
         fuse_ffn = (
             self.use_pallas
             and self.drop_rate == 0.0
             and (self.dim_mul_in_att or self.dim == self.dim_out)
         )
         if fuse_ffn:
-            from svit_tpu.ops.pallas_ffn import fused_ffn
+            from svit_tpu.ops import pallas_ffn
 
             ln_s, ln_b = _LNParams(att_dim, name="norm2")()
             (w1, b1), (w2, b2) = _MlpParams(
                 att_dim, hidden, self.dim_out, name="mlp"
             )()
             cast = self.dtype
-            x_mlp = fused_ffn(
-                x, ln_s, ln_b,
-                w1.astype(cast), b1, w2.astype(cast), b2,
-            )
+            w1c, w2c = w1.astype(cast), w2.astype(cast)
+            L = int(np.prod(thw_new))
+            mg = pallas_ffn.fused_ffn(
+                grid.reshape(grid.shape[0], L, att_dim),
+                ln_s, ln_b, w1c, b1, w2c, b2,
+            ).reshape(grid.shape[:4] + (self.dim_out,))
+            me = pallas_ffn.ffn_reference(extras, ln_s, ln_b, w1c, b1, w2c, b2)
         else:
-            x_norm2 = LayerNorm(dtype=self.dtype, name="norm2")(x)
-            x_mlp = Mlp(
+            norm2 = LayerNorm(dtype=self.dtype, name="norm2")
+            g2, e2 = norm2(grid), norm2(extras)
+            mlp = Mlp(
                 hidden_features=hidden,
                 out_features=self.dim_out,
                 drop_rate=self.drop_rate,
                 dtype=self.dtype,
                 name="mlp",
-            )(x_norm2, deterministic=deterministic)
+            )
+            mg = mlp(g2, deterministic=deterministic)
+            me = mlp(e2, deterministic=deterministic)
             if not self.dim_mul_in_att and self.dim != self.dim_out:
-                x = nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(x_norm2)
-        x = x + dp(x_mlp, deterministic=deterministic)
-        return x, thw_new
+                proj = nn.Dense(self.dim_out, dtype=self.dtype, name="proj")
+                grid, extras = proj(g2), proj(e2)
+
+        rng2 = self.make_rng("dropout") if use_dp else None
+        mg, me = _drop_path_pair(mg, me, self.drop_path, rng2, deterministic)
+        return (grid + mg, extras + me), thw_new

@@ -22,7 +22,7 @@ class PatchEmbed(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        """x: [B, T, H, W, C_in] -> (tokens [B, T'H'W', dim_out], (T',H',W'))."""
+        """x: [B, T, H, W, C_in] -> (grid [B, T', H', W', dim_out], (T',H',W'))."""
         x = nn.Conv(
             features=self.dim_out,
             kernel_size=tuple(self.kernel),
@@ -31,5 +31,4 @@ class PatchEmbed(nn.Module):
             dtype=self.dtype,
             name="proj",
         )(x)
-        B, T, H, W, C = x.shape
-        return x.reshape(B, T * H * W, C), (T, H, W)
+        return x, tuple(x.shape[1:4])

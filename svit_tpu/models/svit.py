@@ -312,7 +312,7 @@ class SViT(nn.Module):
         is_video = t_in > 1
 
         x = x.astype(self.dtype)
-        x, (t_lat, H, W) = PatchEmbed(
+        grid, (t_lat, H, W) = PatchEmbed(
             dim_out=arch.embed_dim,
             kernel=arch.patch_kernel,
             stride=arch.patch_stride,
@@ -320,18 +320,6 @@ class SViT(nn.Module):
             dtype=self.dtype,
             name="patch_embed",
         )(x)
-
-        if arch.cls_embed_on:
-            cls_token = self.param(
-                "cls_token",
-                nn.initializers.truncated_normal(0.02),
-                (1, 1, arch.embed_dim),
-                jnp.float32,
-            )
-            x = jnp.concatenate(
-                [jnp.broadcast_to(cls_token, (B, 1, arch.embed_dim)).astype(x.dtype), x],
-                axis=1,
-            )
 
         # Temporal pos-embed exists regardless of USE_ABS_POS — the object
         # tokens always consume it (reference :120-122).
@@ -341,6 +329,18 @@ class SViT(nn.Module):
             (1, arch.num_frames, arch.embed_dim),
             jnp.float32,
         )
+
+        cls_tok = None
+        if arch.cls_embed_on:
+            cls_token = self.param(
+                "cls_token",
+                nn.initializers.truncated_normal(0.02),
+                (1, 1, arch.embed_dim),
+                jnp.float32,
+            )
+            cls_tok = jnp.broadcast_to(
+                cls_token, (B, 1, arch.embed_dim)
+            ).astype(grid.dtype)
 
         if arch.use_abs_pos:
             if not arch.sep_pos_embed:
@@ -354,14 +354,12 @@ class SViT(nn.Module):
                 (1, arch.patch_dims[1] * arch.patch_dims[2], arch.embed_dim),
                 jnp.float32,
             )
+            pos = pos_embed_spatial.reshape(
+                1, 1, arch.patch_dims[1], arch.patch_dims[2], arch.embed_dim
+            )
             if is_video:
-                pos = jnp.tile(pos_embed_spatial, (1, arch.patch_dims[0], 1)) + jnp.repeat(
-                    pos_embed_temporal[:, : arch.patch_dims[0]],
-                    arch.patch_dims[1] * arch.patch_dims[2],
-                    axis=1,
-                )
-            else:
-                pos = jnp.tile(pos_embed_spatial, (1, t_lat, 1))
+                pos = pos + pos_embed_temporal[:, :t_lat, None, None, :]
+            grid = grid + pos.astype(grid.dtype)
             if arch.cls_embed_on:
                 pos_embed_class = self.param(
                     "pos_embed_class",
@@ -369,8 +367,7 @@ class SViT(nn.Module):
                     (1, 1, arch.embed_dim),
                     jnp.float32,
                 )
-                pos = jnp.concatenate([pos_embed_class, pos], axis=1)
-            x = x + pos.astype(x.dtype)
+                cls_tok = cls_tok + pos_embed_class.astype(cls_tok.dtype)
 
         # Object tokens: O per *input* frame (reference :354-363).
         object_queries = self.param(
@@ -387,26 +384,35 @@ class SViT(nn.Module):
             x_obj = x_obj + pos_embed_temporal[:, :t_in, None, :]
         x_obj = x_obj.reshape(B, t_in * arch.num_obj_per_frame, arch.embed_dim)
         num_obj = x_obj.shape[1]
-        x = jnp.concatenate([x, x_obj.astype(x.dtype)], axis=1)
+
+        # Extras stream: [cls? | O*T object tokens] — tiny next to the grid.
+        if arch.cls_embed_on:
+            extras = jnp.concatenate([cls_tok, x_obj.astype(grid.dtype)], axis=1)
+        else:
+            extras = x_obj.astype(grid.dtype)
 
         if arch.drop_rate > 0.0:
-            x = nn.Dropout(arch.drop_rate)(x, deterministic=deterministic)
+            stem_drop = nn.Dropout(arch.drop_rate)
+            grid = stem_drop(grid, deterministic=deterministic)
+            extras = stem_drop(extras, deterministic=deterministic)
         if arch.norm_stem:
-            x = LayerNorm(dtype=self.dtype, name="norm_stem")(x)
+            norm_stem = LayerNorm(dtype=self.dtype, name="norm_stem")
+            grid = norm_stem(grid)
+            extras = norm_stem(extras)
 
         thw = (t_lat, H, W)
+        streams = (grid, extras)
         for i, spec in enumerate(arch.blocks):
             block_cls = MultiScaleBlock
             if arch.remat:
                 block_cls = nn.remat(
                     MultiScaleBlock, static_argnums=(1, 2), prevent_cse=False
                 )
-            x, thw = block_cls(
+            streams, thw = block_cls(
                 dim=spec.dim,
                 dim_out=spec.dim_out,
                 num_heads=spec.num_heads,
                 input_size=spec.input_size,
-                num_obj=num_obj,
                 mlp_ratio=arch.mlp_ratio,
                 qkv_bias=arch.qkv_bias,
                 drop_rate=arch.drop_rate,
@@ -426,20 +432,23 @@ class SViT(nn.Module):
                 use_pallas=self.use_pallas,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
-            )(x, thw, deterministic)
+            )(streams, thw, deterministic)
             if self.capture_gradcam:
-                x = self.perturb(f"blocks_{i}_out", x)
+                g, e = streams
+                streams = (self.perturb(f"blocks_{i}_out", g), e)
 
-        x = LayerNorm(dtype=self.dtype, name="norm")(x)
-
+        grid, extras = streams
+        norm = LayerNorm(dtype=self.dtype, name="norm")
         if arch.cls_embed_on:
-            cls_tok = x[:, :1]
-            obj = x[:, -num_obj:]
+            # LN is per-token: norming only [cls | obj] equals slicing the
+            # normed full sequence (reference :375-384) — the final patch-grid
+            # norm feeds nothing and is skipped.
+            head_in = norm(extras)
         else:
-            cls_tok = x[:, :-num_obj].mean(axis=1, keepdims=True)
-            obj = x[:, -num_obj:]
+            gN = norm(grid)
+            cls_tok = gN.reshape(B, -1, gN.shape[-1]).mean(axis=1, keepdims=True)
+            head_in = jnp.concatenate([cls_tok, norm(extras)], axis=1)
 
-        head_in = jnp.concatenate([cls_tok, obj], axis=1)
         return SViTHead(arch=arch, dtype=self.dtype, name="head")(
             head_in, t_in, deterministic=deterministic
         )

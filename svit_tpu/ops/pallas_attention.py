@@ -43,15 +43,34 @@ def _round_up(x: int, m: int) -> int:
 _VMEM_BUDGET = 14 * 1024 * 1024  # leave headroom under the 16MB scoped limit
 
 
+@functools.lru_cache(maxsize=None)
+def _best_divisor_tile(n: int, max_tile: int) -> int:
+    """Largest multiple-of-8 divisor of ``n`` that is <= max_tile (0 if none).
+
+    Tiles that divide the token count evenly avoid padding the query axis
+    entirely — the SViT grids (25088, 6272, 1568, 392 tokens) all admit large
+    8-aligned divisors (896/784/392), whereas naive 256-multiple round-up
+    wastes up to 25% of the kernel's work on padding rows.
+    """
+    best = 0
+    for t in range(8, min(n, max_tile) + 1, 8):
+        if n % t == 0:
+            best = t
+    return best
+
+
 def _pick_q_tile(q_tile: int, n_q: int, n_k_pad: int, live_f32_rows: int) -> int:
-    """Largest 256-multiple tile whose live f32 [tile, Nk_pad] buffers fit VMEM.
+    """Pick the q-tile: prefer an even divisor of Nq; fit the VMEM budget.
 
     ``live_f32_rows`` = number of concurrently-live [tile, Nk_pad] f32
     buffers (2 for forward logits+probs, 4 for backward logits/p/dp/ds).
     """
     budget_tile = _VMEM_BUDGET // (4 * live_f32_rows * n_k_pad)
-    budget_tile = max(256, budget_tile // 256 * 256)
-    return min(q_tile, budget_tile, _round_up(n_q, 256))
+    max_tile = min(q_tile, max(256, budget_tile // 8 * 8))
+    best = _best_divisor_tile(n_q, max_tile)
+    if best >= 256 or (best > 0 and best >= n_q // 8):
+        return best
+    return min(max_tile // 256 * 256 or 256, _round_up(n_q, 256))
 
 
 @functools.lru_cache(maxsize=None)
@@ -279,6 +298,9 @@ def _reference_attention(q, k, v, bias_src, scatter):
     ).astype(q.dtype)
 
 
+reference_attention = _reference_attention
+
+
 @jax.custom_vjp
 def fused_attention(q, k, v, bias_src, scatter):
     return pooled_attention(q, k, v, bias_src, scatter)
@@ -300,6 +322,63 @@ fused_attention.defvjp(_fwd, _bwd)
 # ---------------------------------------------------------------------------
 # Bias-source construction (shared by kernel and fallback)
 # ---------------------------------------------------------------------------
+
+def build_bias_inputs_grid(
+    q_grid: jax.Array,            # [B, Tq, Hq, Wq, h*hd] (unscaled, pooled+normed)
+    num_heads: int,
+    q_shape: Tuple[int, int, int],
+    k_shape: Tuple[int, int, int],
+    n_k: int,                     # total key count: k_l patches + extras
+    *,
+    rel_pos_h: Optional[jax.Array],
+    rel_pos_w: Optional[jax.Array],
+    rel_pos_t: Optional[jax.Array],
+):
+    """Assemble (bias_src [B*h, q_l, R], scatter [R, Nk_pad]) for the
+    grid-native key layout ``[patch tokens | extras]`` (patches at offset 0).
+
+    Unlike :func:`build_bias_inputs` this never slices/pads the query axis:
+    the rel-pos einsums consume the patch grid directly and every grid query
+    row carries a bias; extras key columns (>= k_l) receive zero bias and
+    padding columns (>= n_k) get -inf through the scatter mask channel.
+    """
+    from svit_tpu.ops import rel_pos as rp
+
+    B, Tq, Hq, Wq, C = q_grid.shape
+    hd = C // num_heads
+    k_t, k_h, k_w = k_shape
+    q_l = Tq * Hq * Wq
+    n_k_pad = _round_up(n_k, 128)
+
+    # [B, t, p, w, h, c]: head axis split off the channel axis (free reshape).
+    rq = q_grid.reshape(B, Tq, Hq, Wq, num_heads, hd).astype(jnp.float32)
+    terms = []
+    if rel_pos_t is not None:
+        Rt = rp.rel_table(rel_pos_t, q_shape[0], k_t)
+        terms.append(jnp.einsum(
+            "btpwhc,tuc->bhtpwu", rq, Rt, preferred_element_type=jnp.float32,
+        ))
+    else:
+        terms.append(jnp.zeros((B, num_heads, Tq, Hq, Wq, k_t), jnp.float32))
+    if rel_pos_h is not None:
+        Rh = rp.rel_table(rel_pos_h, q_shape[1], k_h)
+        Rw = rp.rel_table(rel_pos_w, q_shape[2], k_w)
+        terms.append(jnp.einsum(
+            "btpwhc,pkc->bhtpwk", rq, Rh, preferred_element_type=jnp.float32,
+        ))
+        terms.append(jnp.einsum(
+            "btpwhc,wkc->bhtpwk", rq, Rw, preferred_element_type=jnp.float32,
+        ))
+    else:
+        terms.append(jnp.zeros((B, num_heads, Tq, Hq, Wq, k_h), jnp.float32))
+        terms.append(jnp.zeros((B, num_heads, Tq, Hq, Wq, k_w), jnp.float32))
+
+    flat = [t.reshape(B * num_heads, q_l, t.shape[-1]) for t in terms]
+    ones = jnp.ones((B * num_heads, q_l, 1), jnp.float32)
+    bias_src = jnp.concatenate(flat + [ones], axis=-1)
+    scatter = jnp.asarray(_scatter_matrix(tuple(k_shape), n_k, n_k_pad, 0))
+    return bias_src, scatter
+
 
 def build_bias_inputs(
     q: jax.Array,                 # [B, h, Nq, d]

@@ -33,8 +33,15 @@ def _pick_n_tile(n: int, c: int, h: int, bytes_weights: int) -> int:
     # live f32 rows: x tile (c), normalized (c), hidden (h), plus the out tile
     per_row = 4 * (3 * c + h)
     budget = _VMEM_BUDGET - bytes_weights
-    tile = max(256, budget // per_row // 256 * 256)
-    return min(1024, tile, _round_up(n, 256))
+    max_tile = min(1024, max(256, budget // per_row // 8 * 8))
+    # prefer a tile that divides the token count evenly (no padding rows)
+    best = 0
+    for t in range(8, min(n, max_tile) + 1, 8):
+        if n % t == 0:
+            best = t
+    if best >= 256 or (best > 0 and best >= n // 8):
+        return best
+    return min(max_tile // 256 * 256 or 256, _round_up(n, 256))
 
 
 def _erf(x):
@@ -125,6 +132,9 @@ def _ffn_reference(x, ln_scale, ln_bias, w1, b1, w2, b2):
         h.astype(w2.dtype), w2, preferred_element_type=jnp.float32
     ) + b2
     return y.astype(x.dtype)
+
+
+ffn_reference = _ffn_reference
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,450 @@
+"""Fused depthwise-conv pooling + per-head LayerNorm kernel (Pallas/TPU).
+
+The SViT attention pools q/k/v at EVERY block with a depthwise 3x3x3 conv
+followed by LayerNorm(head_dim) (reference ``slowfast/models/attention.py:
+258-304``; the ``configs/ssv2.yaml`` schedule pools all 16 blocks).  XLA's
+depthwise convolution at these shapes runs ~2ms per call on a VPU fallback
+path and drags f32 converts + layout relayouts into its fusion — measured as
+the single largest cost family of the forward pass (~28ms/fwd).
+
+This kernel computes conv + LN in one VMEM pass.  Design notes:
+
+- **Tap-aligned inputs.**  Shifting the W axis inside the kernel is a
+  sublane relayout on every tap (the TPU tiles the last two dims), which
+  costs more than the conv itself.  Instead XLA pre-builds shifted views —
+  kW W-shifted copies for stride-1, kH*kW shifted+strided (output-sized)
+  copies for strided pools — so every in-kernel tap is pure leading-dim
+  indexing: contiguous vector multiply-adds, no shuffles.
+- **Halo tiling via ``pl.Element``.**  The grid tiles (batch, t_out chunks,
+  h_out chunks); stride-1 input blocks span the conv halo with
+  element-indexed starts so 56x56 stem grids stay within VMEM.
+- **Per-head LN stats via sum+expand matmuls.**  Mosaic cannot reshape the
+  lane axis into (heads, head_dim); group sums are computed as ``a @ S``
+  (S [C, heads] one-hot) and broadcast back with ``@ S^T`` — in HIGHEST
+  precision (the default one-pass bf16 f32 matmul loses ~1e-2 after the
+  rsqrt; 6-pass is f32-exact and the [C, heads] operands make it cheap).
+- Weight rows are read with keepdim [1, C] slices: extracting a 1-D row of a
+  VMEM block triggers a pathological Mosaic relayout (~400s compile).
+
+Backward runs the numerics-identical XLA reference through ``jax.vjp``
+(standard recompute; the reference's grouped-conv filter gradient carries the
+SPMD-safe tap formulation from ``svit_tpu/ops/pooling.py``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+try:  # element-indexed (overlapping) block dims
+    from jax._src.pallas.core import Element as _Element
+except ImportError:  # pragma: no cover - older jax
+    _Element = None
+
+Triple = Tuple[int, int, int]
+
+_EPS = 1e-6
+_VMEM_BUDGET = 11 * 1024 * 1024
+
+
+def _out_size(d: int, k: int, s: int) -> int:
+    return (d + 2 * (k // 2) - k) // s + 1
+
+
+def _pad8(x: int) -> int:
+    return ((x + 7) // 8) * 8
+
+
+def _lane_pad(c: int) -> int:
+    return ((c + 127) // 128) * 128
+
+
+def _group_ln(a, s_ref, st_ref, ls_ref, lb_ref, head_dim: int):
+    """Per-head LN over [rows, C] via sum+expand matmuls (f32)."""
+    hp = dict(precision=jax.lax.Precision.HIGHEST,
+              preferred_element_type=jnp.float32)
+    inv = np.float32(1.0 / head_dim)
+    gsum = jax.lax.dot(a, s_ref[...], **hp)
+    mean = jax.lax.dot(gsum * inv, st_ref[...], **hp)
+    xc = a - mean
+    gvar = jax.lax.dot(xc * xc, s_ref[...], **hp)
+    var = jax.lax.dot(gvar * inv, st_ref[...], **hp)
+    return xc * jax.lax.rsqrt(var + _EPS) * ls_ref[...] + lb_ref[...]
+
+
+def _kernel_s1(
+    x_ref, k_ref, s_ref, st_ref, ls_ref, lb_ref, o_ref,
+    *, kernel: Triple, t_tile: int, h_tile: int, w_out: int, head_dim: int,
+):
+    """Stride-1 conv+LN over one (t, h) tile.  The input block carries the
+    full (padded) W row; the 27 taps are value-level slices — T/H offsets are
+    free (untiled dims) and the W offset costs one sublane shift per tap,
+    which measures far below materializing shifted copies in HBM (XLA stacks
+    cost 600MB/pool in pads).  Each tap covers the whole tile in one vector
+    op, and the LN stats run ONCE per invocation — per-frame stats would
+    serialize hundreds of tiny MXU calls against the VPU tap chain."""
+    kT, kH, kW = kernel
+    x = x_ref[0]                       # [t_tile+kT-1, h_tile+kH-1, Wp8, C]
+    C = x.shape[-1]
+    tin, hin = x.shape[0], x.shape[1]
+    kv = k_ref[...]                    # [kT*kH*kW, C]
+    # Hoist the W-shift: a misaligned slice on the (tiled) W axis costs a
+    # sublane relayout of the whole operand, so take it kW times up front
+    # instead of inside all kT*kH*kW taps.
+    xw = [
+        jax.lax.slice(x, (0, 0, dw, 0), (tin, hin, dw + w_out, C))
+        for dw in range(kW)
+    ]
+    acc = jnp.zeros((t_tile, h_tile, w_out, C), jnp.float32)
+    i = 0
+    for dt in range(kT):
+        for dh in range(kH):
+            for dw in range(kW):
+                tap = jax.lax.slice(
+                    xw[dw],
+                    (dt, dh, 0, 0),
+                    (dt + t_tile, dh + h_tile, w_out, C),
+                )
+                # keepdim weight slice: extracting a 1-D row of a VMEM block
+                # triggers a pathological Mosaic relayout (~400s compile)
+                w = jax.lax.slice(kv, (i, 0), (i + 1, C))
+                acc += tap.astype(jnp.float32) * w[None]
+                i += 1
+    y = _group_ln(
+        acc.reshape(t_tile * h_tile * w_out, C),
+        s_ref, st_ref, ls_ref, lb_ref, head_dim,
+    )
+    o_ref[0] = y.reshape(t_tile, h_tile, w_out, C).astype(o_ref.dtype)
+
+
+def _kernel_strided(
+    x_ref, k_ref, s_ref, st_ref, ls_ref, lb_ref, o_ref,
+    *, kernel: Triple, s: int, t_tile: int, h_tile: int, w_out: int,
+    C: int, head_dim: int,
+):
+    """True-strided conv+LN (spatial stride s on H and W).
+
+    The input arrives pre-reshaped [tin, Hq, s, Wq, s*C]: splitting H into
+    (Hq, s) is a free leading-dim reshape and splitting W into (Wq, s*C)
+    merges the W-parity into the lane axis (contiguous, also free).  A tap at
+    output (t, h, w) with offsets (dt, dh, dw) reads
+    ``x[t+dt, h + dh//s, dh % s, w + dw//s, (dw % s)*C : +C]`` — leading-dim
+    indexing plus ONE lane/sublane-offset combination per dw, hoisted below so
+    only <=3 relayouts happen per invocation.  VPU work is output-sized
+    (27 * out elements), not stride-1-sized."""
+    kT, kH, kW = kernel
+    x = x_ref[0]                       # [tin, hq_in, s, Wq, s*C]
+    tin, hq_in = x.shape[0], x.shape[1]
+    kv = k_ref[...]
+    planes = {}
+    for dw in range(kW):
+        key = (dw // s, dw % s)
+        if key not in planes:
+            o, p = key
+            planes[key] = jax.lax.slice(
+                x,
+                (0, 0, 0, o, p * C),
+                (tin, hq_in, s, o + w_out, p * C + C),
+            )                          # [tin, hq_in, s, w_out, C]
+    acc = jnp.zeros((t_tile, h_tile, w_out, C), jnp.float32)
+    i = 0
+    for dt in range(kT):
+        for dh in range(kH):
+            for dw in range(kW):
+                pl_ = planes[(dw // s, dw % s)]
+                tap = jax.lax.slice(
+                    pl_,
+                    (dt, dh // s, dh % s, 0, 0),
+                    (dt + t_tile, dh // s + h_tile, dh % s + 1, w_out, C),
+                ).reshape(t_tile, h_tile, w_out, C)
+                w = jax.lax.slice(kv, (i, 0), (i + 1, C))
+                acc += tap.astype(jnp.float32) * w[None]
+                i += 1
+    y = _group_ln(
+        acc.reshape(t_tile * h_tile * w_out, C),
+        s_ref, st_ref, ls_ref, lb_ref, head_dim,
+    )
+    o_ref[0] = y.reshape(t_tile, h_tile, w_out, C).astype(o_ref.dtype)
+
+
+def _pick_tiles_strided(To, Ho, Wq, w_out, s, C, kernel, itemsize):
+    kT, kH, kW = kernel
+    cp = _lane_pad(s * C)
+    co = _lane_pad(C)
+    wo8 = _pad8(w_out)
+
+    def need(tt, hh):
+        tin = tt + kT - 1
+        hq_in = hh + (kH - 1) // s
+        return (
+            2 * tin * hq_in * s * _pad8(Wq) * cp * itemsize      # in x2buf
+            + 3 * tin * hq_in * s * wo8 * co * itemsize          # parity planes
+            + 2 * tt * hh * wo8 * co * itemsize                  # out x2buf
+            + 3 * tt * hh * wo8 * co * 4                         # f32 acc+temps
+        )
+
+    best, best_steps = (1, 1), None
+    for tt in (t for t in range(1, To + 1) if To % t == 0):
+        for hh in (h for h in range(1, Ho + 1) if Ho % h == 0):
+            if need(tt, hh) > _VMEM_BUDGET:
+                continue
+            steps = (To // tt) * (Ho // hh)
+            if best_steps is None or steps < best_steps or (
+                steps == best_steps and tt * hh > best[0] * best[1]
+            ):
+                best, best_steps = (tt, hh), steps
+    return best, best_steps is not None
+
+
+def _stat_mats(C: int, head_dim: int):
+    heads = C // head_dim
+    s = jnp.asarray(np.kron(np.eye(heads), np.ones((head_dim, 1))), jnp.float32)
+    st = jnp.asarray(np.kron(np.eye(heads), np.ones((1, head_dim))), jnp.float32)
+    return s, st
+
+
+def _pick_tiles(To, Ho, Wo, C, kernel, itemsize):
+    kT, kH, kW = kernel
+    cp = _lane_pad(C)
+    wo8 = _pad8(Wo)
+
+    wp8 = kW - 1 + wo8
+
+    def need(tt, hh):
+        return (
+            2 * (tt + kT - 1) * (hh + kH - 1) * wp8 * cp * itemsize  # in x2buf
+            + kW * (tt + kT - 1) * (hh + kH - 1) * wo8 * cp * itemsize  # xw
+            + 2 * tt * hh * wo8 * cp * itemsize                      # out x2buf
+            + 3 * tt * hh * wo8 * cp * 4                             # f32 acc+temps
+        )
+
+    best, best_steps = (1, 1), To * Ho
+    for tt in (t for t in range(1, To + 1) if To % t == 0):
+        for hh in (h for h in range(1, Ho + 1) if Ho % h == 0):
+            if need(tt, hh) > _VMEM_BUDGET:
+                continue
+            steps = (To // tt) * (Ho // hh)
+            if steps < best_steps or (
+                steps == best_steps and tt * hh > best[0] * best[1]
+            ):
+                best, best_steps = (tt, hh), steps
+    return best
+
+
+def _forward(x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim,
+             interpret: bool):
+    B, T, H, W, C = x.shape
+    kT, kH, kW = kernel
+    st_, sh, sw = stride
+
+    if (st_, sh, sw) != (1, 1, 1):
+        if sh == sw and sh > 1:
+            out = _forward_strided(
+                x, kernel_w, ln_scale, ln_bias, kernel, sh, head_dim,
+                interpret,
+            )
+            # temporal stride (unused by the SSv2 schedule) via subsample
+            return out[:, ::st_] if st_ > 1 else out
+        # Uneven spatial strides: stride-1 pool subsampled at the strided
+        # positions (odd kernels; conv windows are translation-invariant and
+        # LN is per-token) — bitwise identical.
+        full = _forward(
+            x, kernel_w, ln_scale, ln_bias, kernel, (1, 1, 1), head_dim,
+            interpret,
+        )
+        return full[:, ::st_, ::sh, ::sw]
+
+    To, Ho, Wo = (_out_size(d, k, 1) for d, k in zip((T, H, W), kernel))
+    # Block shapes need an 8-divisible W: pad the output W up to W8 (the junk
+    # columns see zero input — LN turns them into the finite bias — and are
+    # sliced off after the call) and the input so every dw offset stays
+    # in bounds.
+    W8 = _pad8(Wo)
+    pads = [
+        (0, 0),
+        (kernel[0] // 2, kernel[0] // 2),
+        (kernel[1] // 2, kernel[1] // 2),
+        (kernel[2] // 2, kernel[2] // 2 + (W8 - Wo)),
+        (0, 0),
+    ]
+    xp = jnp.pad(x, pads)
+
+    t_tile, h_tile = _pick_tiles(To, Ho, Wo, C, kernel, x.dtype.itemsize)
+
+    kf = kernel_w.reshape(kT * kH * kW, C).astype(jnp.float32)
+    s_mat, st_mat = _stat_mats(C, head_dim)
+    heads = C // head_dim
+    ls = jnp.tile(ln_scale.astype(jnp.float32), heads).reshape(1, C)
+    lb = jnp.tile(ln_bias.astype(jnp.float32), heads).reshape(1, C)
+
+    kern = functools.partial(
+        _kernel_s1, kernel=kernel, t_tile=t_tile, h_tile=h_tile,
+        w_out=W8, head_dim=head_dim,
+    )
+    grid = (B, To // t_tile, Ho // h_tile)
+    tin, hin = t_tile + kT - 1, h_tile + kH - 1
+    Wp = xp.shape[3]
+
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, To, Ho, W8, C), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (
+                    _Element(1), _Element(tin), _Element(hin),
+                    _Element(Wp), _Element(C),
+                ),
+                lambda b, t, h: (b, t * t_tile, h * h_tile, 0, 0),
+            ),
+            pl.BlockSpec((kT * kH * kW, C), lambda b, t, h: (0, 0)),
+            pl.BlockSpec((C, heads), lambda b, t, h: (0, 0)),
+            pl.BlockSpec((heads, C), lambda b, t, h: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, t, h: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, t, h: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t_tile, h_tile, W8, C), lambda b, t, h: (b, t, h, 0, 0)
+        ),
+        interpret=interpret,
+    )(xp, kf, s_mat, st_mat, ls, lb)
+    if W8 != Wo:
+        out = out[:, :, :, :Wo, :]
+    return out
+
+
+def _forward_strided(x, kernel_w, ln_scale, ln_bias, kernel, s, head_dim,
+                     interpret: bool):
+    """Spatially-strided (stride s on H and W, stride 1 on T) fused pool+LN."""
+    B, T, H, W, C = x.shape
+    kT, kH, kW = kernel
+    To = _out_size(T, kT, 1)
+    Ho = _out_size(H, kH, s)
+    Wo = _out_size(W, kW, s)
+    W8 = _pad8(Wo)
+
+    # pad: conv halo, then up to parity-split divisibility; W additionally up
+    # to the 8-aligned output width so block shapes are legal (junk columns
+    # are LN'd to the finite bias and sliced off).
+    Hp = H + 2 * (kH // 2)
+    Hq = -(-max(Hp, (Ho - 1) * s + kH) // s)
+    Wq = (kW - 1) // s + W8
+    pads = [
+        (0, 0),
+        (kT // 2, kT // 2),
+        (kH // 2, Hq * s - H - (kH // 2)),
+        (kW // 2, Wq * s - W - (kW // 2)),
+        (0, 0),
+    ]
+    xp = jnp.pad(x, pads)
+    Tp = xp.shape[1]
+    # free reshapes: H -> (Hq, s) and W -> (Wq, s*C)
+    x6 = xp.reshape(B, Tp, Hq, s, Wq, s * C)
+
+    (t_tile, h_tile), ok = _pick_tiles_strided(
+        To, Ho, Wq, W8, s, C, kernel, x.dtype.itemsize
+    )
+
+    kf = kernel_w.reshape(kT * kH * kW, C).astype(jnp.float32)
+    s_mat, st_mat = _stat_mats(C, head_dim)
+    heads = C // head_dim
+    ls = jnp.tile(ln_scale.astype(jnp.float32), heads).reshape(1, C)
+    lb = jnp.tile(ln_bias.astype(jnp.float32), heads).reshape(1, C)
+
+    kern = functools.partial(
+        _kernel_strided, kernel=kernel, s=s, t_tile=t_tile, h_tile=h_tile,
+        w_out=W8, C=C, head_dim=head_dim,
+    )
+    grid = (B, To // t_tile, Ho // h_tile)
+    tin = t_tile + kT - 1
+    hq_in = h_tile + (kH - 1) // s
+
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, To, Ho, W8, C), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (
+                    _Element(1), _Element(tin), _Element(hq_in),
+                    _Element(s), _Element(Wq), _Element(s * C),
+                ),
+                lambda b, t, h: (b, t * t_tile, h * h_tile, 0, 0, 0),
+            ),
+            pl.BlockSpec((kT * kH * kW, C), lambda b, t, h: (0, 0)),
+            pl.BlockSpec((C, heads), lambda b, t, h: (0, 0)),
+            pl.BlockSpec((heads, C), lambda b, t, h: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, t, h: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, t, h: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t_tile, h_tile, W8, C), lambda b, t, h: (b, t, h, 0, 0)
+        ),
+        interpret=interpret,
+    )(x6, kf, s_mat, st_mat, ls, lb)
+    if W8 != Wo:
+        out = out[:, :, :, :Wo, :]
+    return out
+
+
+def pool_ln_reference(x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim):
+    """XLA formulation with identical numerics (VJP recompute + fallback)."""
+    from svit_tpu.ops import pooling
+
+    y = pooling.depthwise_conv3d(x, kernel_w.astype(jnp.float32), tuple(stride))
+    shape = y.shape
+    h = shape[-1] // head_dim
+    yf = y.reshape(*shape[:-1], h, head_dim).astype(jnp.float32)
+    mean = jnp.mean(yf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(yf - mean), axis=-1, keepdims=True)
+    o = (yf - mean) * jax.lax.rsqrt(var + _EPS) * ln_scale + ln_bias
+    return o.astype(x.dtype).reshape(shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fused_pool_ln(x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim):
+    """Depthwise-conv pool (torch padding k//2) + per-head LN, one Pallas pass.
+
+    x: [B, T, H, W, C]; kernel_w: [kT, kH, kW, 1, C]; LN over head_dim groups.
+    """
+    return _fused_pool_ln_fwd_impl(x, kernel_w, ln_scale, ln_bias,
+                                   kernel, stride, head_dim)
+
+
+def _fused_pool_ln_fwd_impl(x, kernel_w, ln_scale, ln_bias,
+                            kernel, stride, head_dim,
+                            interpret: Optional[bool] = None):
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if _Element is None:
+        return pool_ln_reference(
+            x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim
+        )
+    return _forward(
+        x, kernel_w, ln_scale, ln_bias, tuple(kernel), tuple(stride),
+        head_dim, interpret,
+    )
+
+
+def _fpl_fwd(x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim):
+    out = _fused_pool_ln_fwd_impl(
+        x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim
+    )
+    return out, (x, kernel_w, ln_scale, ln_bias)
+
+
+def _fpl_bwd(kernel, stride, head_dim, res, g):
+    x, kernel_w, ln_scale, ln_bias = res
+    _, vjp = jax.vjp(
+        lambda a, b, c, d: pool_ln_reference(a, b, c, d, kernel, stride, head_dim),
+        x, kernel_w, ln_scale, ln_bias,
+    )
+    return vjp(g)
+
+
+fused_pool_ln.defvjp(_fpl_fwd, _fpl_bwd)

@@ -54,6 +54,12 @@ def _dist_idx(q_n: int, k_n: int) -> np.ndarray:
     return dist.astype(np.int64)
 
 
+def rel_table(rel_pos: jax.Array, q_n: int, k_n: int) -> jax.Array:
+    """Resized + distance-indexed rel-pos table: [q_n, k_n, head_dim]."""
+    d = 2 * max(q_n, k_n) - 1
+    return resize_rel_pos(rel_pos, d)[_dist_idx(q_n, k_n)]
+
+
 def spatial_bias_terms(
     r_q: jax.Array,
     q_shape: Tuple[int, int, int],

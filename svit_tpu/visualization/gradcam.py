@@ -95,12 +95,11 @@ class GradCAM:
 
         B, t_in = clips.shape[0], clips.shape[1]
         arch = self.model.arch
-        num_obj = t_in * arch.num_obj_per_frame
-        # patch tokens only (drop cls + objects); final grid after q-strides
+        # the perturb point carries the patch-grid stream [B, T', H', W', C] —
+        # already cls/object-free; final grid after q-strides
         thw = _final_thw(arch, t_in)
-        start = 1 if arch.cls_embed_on else 0
-        patch_acts = acts[:, start : acts.shape[1] - num_obj]
-        patch_grad = grad[:, start : grad.shape[1] - num_obj]
+        patch_acts = acts.reshape(B, -1, acts.shape[-1])
+        patch_grad = grad.reshape(B, -1, grad.shape[-1])
 
         weights = patch_grad.mean(axis=1, keepdims=True)      # GAP over tokens
         cam = (weights * patch_acts).sum(axis=-1)             # [B, THW]
@@ -150,8 +149,8 @@ def _find_intermediate(tree, name: str):
     """Find the block-output activation matching a perturb-point name.
 
     flax intermediates are keyed by module path (``blocks_15/__call__``) and
-    hold the block's return value ``(tokens, thw)``; the perturb input equals
-    that tokens array.
+    hold the block's return value ``((grid, extras), thw)``; the perturb input
+    equals the grid stream [B, T, H, W, C].
     """
     block = name.replace("_out", "")
     hits = []
@@ -170,7 +169,7 @@ def _find_intermediate(tree, name: str):
                 and path[-1] == "__call__"
                 and path[-2] == block
                 and hasattr(node, "ndim")
-                and node.ndim == 3
+                and node.ndim == 5
             ):
                 hits.append(node)
 
