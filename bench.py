@@ -1,12 +1,19 @@
 #!/usr/bin/env python3
-"""Benchmark: SViT-B/16 (ssv2.yaml) clips/sec/chip on the attached TPU.
+"""Benchmark: SViT-B/16 (ssv2.yaml) on the attached TPU chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-Baseline = the PyTorch reference model's single-clip forward on this host's
-CPU (BASELINE.json config[0]: "single 16-frame 224px clip forward, batch=1,
-CPU"), measured once and cached in ``.bench_baseline.json``.
+- ``value``: inference clips/sec/chip (bf16 forward, batch 16).
+- ``train_clips_per_sec``: video clips/sec/chip through the FUSED train step
+  (fwd + bwd + AdamW for the joint video+image objective incl. the
+  frame-clip consistency forward) — the north-star training metric
+  (BASELINE.json configs[4]).
+- ``mfu_fwd`` / ``mfu_train``: model FLOP utilization against the v5e bf16
+  peak (197 TFLOP/s), with FLOPs taken from XLA's compiled cost analysis.
+- Baseline = the PyTorch reference model forward on this host's CPU,
+  batch-matched and averaged over iterations (cached in
+  ``.bench_baseline.json``; delete the file to re-measure).
 """
 
 import json
@@ -20,37 +27,65 @@ sys.path.insert(0, REPO)
 BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
 BATCH = 16
 ITERS = 20
+TRAIN_BATCH_VIDEO = 8
+TRAIN_BATCH_IMAGE = 8
+TRAIN_ITERS = 10
+V5E_BF16_PEAK = 197e12
 
 
-def measure_tpu():
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
+def _flops_of(compiled) -> float:
+    """XLA-reported FLOPs for one execution (0.0 if unavailable)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
 
+
+def _build():
     from svit_tpu.config import assert_and_infer_cfg, get_cfg
     from svit_tpu.models import build_model
+    from svit_tpu.utils.env import enable_compilation_cache
 
+    enable_compilation_cache()
     cfg = get_cfg()
     cfg.merge_from_file(os.path.join(REPO, "configs", "ssv2.yaml"))
     assert_and_infer_cfg(cfg)
     model, arch = build_model(cfg)  # bf16 compute per the shipped recipe
+    return cfg, model, arch
 
-    S, T = cfg.DATA.TEST_CROP_SIZE, cfg.DATA.NUM_FRAMES
-    x = jnp.asarray(
-        np.random.RandomState(0).randn(BATCH, T, S, S, 3).astype(np.float32)
-    )
+
+def _host_params(model, x):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
 
     # Host-built params (zeros don't change FLOPs; avoids a 3-min init compile
     # through the TPU tunnel).
     abstract = jax.eval_shape(
-        lambda: model.init({"params": jax.random.PRNGKey(0)}, x[:1], deterministic=True)
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0)}, x[:1], deterministic=True
+        )
     )
-    import numpy as _np
-
-    params = jax.tree.map(
-        lambda a: jnp.asarray(_np.random.RandomState(1).standard_normal(a.shape) * 0.02,
-                              dtype=a.dtype),
+    return jax.tree.map(
+        lambda a: jnp.asarray(
+            np.random.RandomState(1).standard_normal(a.shape) * 0.02,
+            dtype=a.dtype,
+        ),
         abstract,
+    )
+
+
+def measure_tpu_forward(cfg, model, params):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    S, T = cfg.DATA.TEST_CROP_SIZE, cfg.DATA.NUM_FRAMES
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(BATCH, T, S, S, 3).astype(np.float32)
     )
 
     # NOTE: on the tunneled TPU platform ``block_until_ready`` does not force
@@ -59,6 +94,7 @@ def measure_tpu():
     fwd = jax.jit(
         lambda p, x, s: model.apply(p, x + s * 0, deterministic=True)[0]
     )
+    flops = _flops_of(fwd.lower(params, x, jnp.float32(0)).compile())
     s = jnp.float32(0)
     for _ in range(3):  # warmup: compile + tunnel spin-up
         s = fwd(params, x, s).mean()
@@ -71,6 +107,7 @@ def measure_tpu():
     _ = float(s)
     dt = (time.perf_counter() - t0) / ITERS
     clips_per_sec = BATCH / dt
+    mfu = (flops / dt) / V5E_BF16_PEAK if flops else None
 
     # p50 per-clip latency at batch 1 (each iter fetched -> true latency)
     x1 = x[:1]
@@ -81,14 +118,73 @@ def measure_tpu():
         _ = float(fwd(params, x1, jnp.float32(0)).mean())
         lat_times.append(time.perf_counter() - t0)
     p50_ms = sorted(lat_times)[len(lat_times) // 2] * 1000
-    return clips_per_sec, p50_ms
+    return clips_per_sec, p50_ms, mfu
+
+
+def measure_tpu_train(cfg, model, params):
+    """Fused video+image train step (fwd+bwd+AdamW, consistency forward)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from svit_tpu.engine import steps
+    from svit_tpu.models.losses import get_loss_func
+    from svit_tpu.models.optimizer import construct_optimizer
+
+    loss_obj = get_loss_func(cfg)
+    tx, _ = construct_optimizer(cfg, steps_per_epoch=1000)
+    S, T = cfg.DATA.TRAIN_CROP_SIZE, cfg.DATA.NUM_FRAMES
+    rs = np.random.RandomState(0)
+    video = {
+        "clips": jnp.asarray(
+            rs.randn(TRAIN_BATCH_VIDEO, T, S, S, 3), jnp.float32
+        ),
+        "labels": jnp.asarray(rs.randint(0, 174, TRAIN_BATCH_VIDEO)),
+        "weight": jnp.ones((TRAIN_BATCH_VIDEO,), jnp.float32),
+    }
+    image = {
+        "frames": jnp.asarray(
+            rs.randn(TRAIN_BATCH_IMAGE, 1, S, S, 3), jnp.float32
+        ),
+        "haog_bboxes": jnp.asarray(
+            rs.rand(TRAIN_BATCH_IMAGE, 1, cfg.SVIT.O, 4) * 0.5 + 0.1,
+            jnp.float32,
+        ),
+        "contact_state": jnp.asarray(
+            rs.randint(-1, 5, (TRAIN_BATCH_IMAGE, 2))
+        ),
+        "weight": jnp.ones((TRAIN_BATCH_IMAGE,), jnp.float32),
+    }
+    state = steps.create_train_state(params["params"], tx)
+    step_fn = jax.jit(
+        steps.make_train_step(
+            model, loss_obj, tx,
+            video_weight=7 / 8, image_weight=1 / 8,
+            with_image=True, with_consistency=True,
+        )
+    )
+    flops = _flops_of(
+        step_fn.lower(state, video, image, jax.random.PRNGKey(1)).compile()
+    )
+    rng = jax.random.PRNGKey(1)
+    state, m = step_fn(state, video, image, rng)  # compile + warm
+    _ = float(m["loss"])
+    t0 = time.perf_counter()
+    for i in range(TRAIN_ITERS):
+        state, m = step_fn(state, video, image, jax.random.fold_in(rng, i))
+    _ = float(m["loss"])
+    dt = (time.perf_counter() - t0) / TRAIN_ITERS
+    mfu = (flops / dt) / V5E_BF16_PEAK if flops else None
+    return TRAIN_BATCH_VIDEO / dt, dt * 1000, mfu
 
 
 def measure_torch_cpu_baseline():
-    """Reference model forward on CPU, batch 1 (cached across rounds)."""
+    """Reference model forward on CPU — batch-matched, averaged (cached)."""
     if os.path.isfile(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
-            return json.load(f)["cpu_clips_per_sec"]
+            cached = json.load(f)
+            if cached.get("batch") == BATCH:
+                return cached["cpu_clips_per_sec"]
     try:
         sys.path.insert(0, os.path.join(REPO, "tests", "refshim"))
         sys.path.insert(0, "/root/reference")
@@ -102,36 +198,56 @@ def measure_torch_cpu_baseline():
         rcfg.NUM_GPUS = 0
         m = RefSViT(rcfg)
         m.eval()
-        x = torch.zeros(1, 3, 16, 224, 224)
+        x = torch.zeros(BATCH, 3, 16, 224, 224)
         with torch.no_grad():
             m([x], {})  # warm-up
+            iters = 2
             t0 = time.perf_counter()
-            m([x], {})
-            dt = time.perf_counter() - t0
-        result = 1.0 / dt
+            for _ in range(iters):
+                m([x], {})
+            dt = (time.perf_counter() - t0) / iters
+        result = BATCH / dt
     except Exception as e:
         print(f"baseline measurement failed ({e}); using recorded value",
               file=sys.stderr)
         result = 0.5  # conservative torch-CPU estimate
     with open(BASELINE_CACHE, "w") as f:
-        json.dump({"cpu_clips_per_sec": result}, f)
+        json.dump({"cpu_clips_per_sec": result, "batch": BATCH}, f)
     return result
 
 
 def main():
-    clips_per_sec, p50_ms = measure_tpu()
+    cfg, model, arch = _build()
+    import jax.numpy as jnp
+    import numpy as np
+
+    S, T = cfg.DATA.TEST_CROP_SIZE, cfg.DATA.NUM_FRAMES
+    x = jnp.asarray(np.zeros((1, T, S, S, 3), np.float32))
+    params = _host_params(model, x)
+
+    clips_per_sec, p50_ms, mfu_fwd = measure_tpu_forward(cfg, model, params)
+    try:
+        train_cps, train_ms, mfu_train = measure_tpu_train(cfg, model, params)
+    except Exception as e:  # train bench must never hide the primary metric
+        print(f"train-step bench failed: {e}", file=sys.stderr)
+        train_cps = train_ms = mfu_train = None
     baseline = measure_torch_cpu_baseline()
-    print(
-        json.dumps(
-            {
-                "metric": "clips/sec/chip (16f x 224 SViT-B, bf16 fwd, "
-                f"batch {BATCH}; p50 latency {p50_ms:.1f} ms/clip @ bs1)",
-                "value": round(clips_per_sec, 2),
-                "unit": "clips/s",
-                "vs_baseline": round(clips_per_sec / baseline, 2),
-            }
-        )
-    )
+    out = {
+        "metric": "clips/sec/chip (16f x 224 SViT-B, bf16 fwd, "
+        f"batch {BATCH}; p50 latency {p50_ms:.1f} ms/clip @ bs1)",
+        "value": round(clips_per_sec, 2),
+        "unit": "clips/s",
+        "vs_baseline": round(clips_per_sec / baseline, 2),
+        "p50_ms_bs1": round(p50_ms, 2),
+    }
+    if mfu_fwd:
+        out["mfu_fwd"] = round(mfu_fwd, 4)
+    if train_cps:
+        out["train_clips_per_sec_chip"] = round(train_cps, 2)
+        out["train_step_ms"] = round(train_ms, 1)
+        if mfu_train:
+            out["mfu_train"] = round(mfu_train, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -57,6 +57,16 @@ class CfgNode(dict):
             )
         dict.__setitem__(self, name, value)
 
+    # -- pickling -----------------------------------------------------------
+    # dict-subclass pickling bypasses __init__, losing the __immutable__
+    # instance attribute (breaks process-pool loader workers); rebuild
+    # through the constructor and restore the frozen state.
+    def __reduce__(self):
+        return (
+            _rebuild_cfg_node,
+            (dict(self), object.__getattribute__(self, CfgNode.IMMUTABLE)),
+        )
+
     # -- mutability ---------------------------------------------------------
     def freeze(self) -> None:
         self._set_immutable(True)
@@ -178,3 +188,10 @@ def _coerce(new: Any, old: Any, key: str) -> Any:
             f"Type mismatch for key {key}: {type(new)} vs default {type(old)}"
         )
     return new
+
+
+def _rebuild_cfg_node(data, immutable):
+    node = CfgNode(data)
+    if immutable:
+        node._set_immutable(True)
+    return node

@@ -261,6 +261,10 @@ _C.DATA_LOADER.PIN_MEMORY = True
 _C.DATA_LOADER.ENABLE_MULTI_THREAD_DECODE = False
 _C.DATA_LOADER.PERSISTENT_WORKERS = False
 _C.DATA_LOADER.PERSISTENT_WORKERS_TRAIN = False
+# Process-pool workers for the train loaders (decode + augment release the
+# GIL poorly under threads); each worker holds its own dataset instance and
+# tasks ship only indices.  Threads remain the val/test default.
+_C.DATA_LOADER.USE_PROCESSES = True
 
 # ---------------------------------------------------------------------------
 # Detection head (reference has it but its import is broken; kept for compat)

@@ -229,3 +229,87 @@ def config_from_cfg(cfg) -> DeviceAugConfig:
         re_prob=cfg.AUG.RE_PROB,
         mean=tuple(cfg.DATA.MEAN), std=tuple(cfg.DATA.STD),
     )
+
+
+# ---------------------------------------------------------------------------
+# Image-branch (HAOG) augmentation: the same affine plan applied to the frame
+# AND its box annotations (the host analogue is the box-aware RandAugment,
+# reference ``slowfast/datasets/ssv2_MF/autoaugment.py:449-507``).  Contact
+# states are matched on host from the pre-augmentation boxes (reference
+# ``ssv2_frames.py`` calls match_haog before augmenting) and pass through.
+# ---------------------------------------------------------------------------
+
+
+def _transform_boxes(M, boxes, out_size):
+    """Map xyxy boxes (input-pixel coords) through the INVERSE of the warp
+    affine into output coords; envelope of the 4 corners, clipped to [0, S].
+
+    M is the output->input matrix from :func:`_affine_matrix` over CENTERED
+    output coordinates; boxes live in continuous input pixel coordinates.
+    """
+    a, b, tx, d, e, ty = (M[i] for i in range(6))
+    det = a * e - b * d
+    ia, ib = e / det, -b / det
+    ic, ie = -d / det, a / det
+    half = out_size / 2.0
+
+    corners = jnp.stack(
+        [
+            boxes[..., jnp.array([0, 1])],
+            boxes[..., jnp.array([2, 1])],
+            boxes[..., jnp.array([0, 3])],
+            boxes[..., jnp.array([2, 3])],
+        ],
+        axis=-2,
+    )                                   # [..., 4corners, 2] (x, y)
+    gx = corners[..., 0] - tx
+    gy = corners[..., 1] - ty
+    xo = ia * gx + ib * gy + half
+    yo = ic * gx + ie * gy + half
+    x1 = jnp.clip(jnp.min(xo, axis=-1), 0.0, out_size)
+    y1 = jnp.clip(jnp.min(yo, axis=-1), 0.0, out_size)
+    x2 = jnp.clip(jnp.max(xo, axis=-1), 0.0, out_size)
+    y2 = jnp.clip(jnp.max(yo, axis=-1), 0.0, out_size)
+    return jnp.stack([x1, y1, x2, y2], axis=-1)
+
+
+def _boxes_to_haog(boxes_xyxy, out_size, was_zero):
+    """Normalize to [0,1] cxcywh and zero degenerate/originally-empty boxes
+    (host analogue: renormalize -> cxcywh -> zero_empty_boxes)."""
+    bn = boxes_xyxy / out_size
+    x1, y1, x2, y2 = (bn[..., i] for i in range(4))
+    cx, cy = (x1 + x2) / 2.0, (y1 + y2) / 2.0
+    w, h = x2 - x1, y2 - y1
+    cxcywh = jnp.stack([cx, cy, w, h], axis=-1)
+    degenerate = (w <= 0.0) | (h <= 0.0) | was_zero
+    return jnp.where(degenerate[..., None], 0.0, cxcywh)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def device_augment_image(frames_u8, boxes_xyxy, key, cfg: DeviceAugConfig):
+    """Image-branch augmentation with paired box transform.
+
+    frames_u8: [B, 1, H, W, C] uint8; boxes_xyxy: [B, 1, O, 4] in input
+    pixel coords (all-zero rows = missing boxes).  Returns
+    (frames f32 [B, 1, S, S, C] normalized, haog cxcywh [B, 1, O, 4]).
+    """
+    B, T, H, W, C = frames_u8.shape
+    keys = jax.random.split(key, B * 3).reshape(B, 3, 2)
+
+    def one(frame_u8, bx, ks):
+        img = frame_u8.astype(jnp.float32) / 255.0
+        M = _affine_matrix(ks[0], H, W, cfg)
+        img = _warp_clip(img, M, cfg.out_size)
+        img = _photometric(ks[1], img, cfg)
+        mean = jnp.asarray(cfg.mean, jnp.float32)
+        std = jnp.asarray(cfg.std, jnp.float32)
+        img = (img - mean) / std
+        was_zero = jnp.all(bx == 0.0, axis=-1)
+        haog = _boxes_to_haog(
+            _transform_boxes(M, bx, cfg.out_size), cfg.out_size, was_zero
+        )
+        # erasing last — does not move boxes (host order: erase after crops)
+        img = _erase(ks[2], img, cfg)
+        return img, haog
+
+    return jax.vmap(one)(frames_u8, boxes_xyxy, keys)

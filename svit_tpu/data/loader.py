@@ -80,9 +80,33 @@ def _pad(batch: Dict[str, np.ndarray], pad_to: Optional[int]):
     return out
 
 
-def _fetch(args):
-    dataset, idx = args
-    return dataset[idx]
+# ---------------------------------------------------------------------------
+# Persistent process workers.  Each worker deserializes the dataset ONCE (in
+# the pool initializer) and tasks ship only (index, epoch) — the earlier
+# ``pool.map(dataset.__getitem__, ...)`` re-pickled the whole dataset (frame
+# lists, box jsons, augment policies) into every single task.
+# ---------------------------------------------------------------------------
+
+_WORKER_DATASET = None
+_WORKER_EPOCH = None
+
+
+def _worker_init(pickled_dataset: bytes):
+    import pickle
+
+    global _WORKER_DATASET, _WORKER_EPOCH
+    _WORKER_DATASET = pickle.loads(pickled_dataset)
+    _WORKER_EPOCH = None
+
+
+def _worker_fetch(task):
+    idx, epoch = task
+    global _WORKER_EPOCH
+    if epoch != _WORKER_EPOCH:
+        if hasattr(_WORKER_DATASET, "set_epoch"):
+            _WORKER_DATASET.set_epoch(epoch)
+        _WORKER_EPOCH = epoch
+    return _WORKER_DATASET[idx]
 
 
 class Loader:
@@ -163,17 +187,37 @@ class Loader:
                 yield self.collate_fn([self.dataset[int(i)] for i in b], self.pad_to)
             return
 
-        pool_cls = ProcessPoolExecutor if self.use_processes else ThreadPoolExecutor
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        epoch = self._epoch
 
         def producer():
             try:
-                with pool_cls(max_workers=self.num_workers) as pool:
+                if self.use_processes:
+                    import multiprocessing
+                    import pickle
+
+                    # fork would clone this (multi-threaded, JAX-initialized)
+                    # process and children die in the runtime's forked locks;
+                    # spawn starts clean interpreters.
+                    ctx = multiprocessing.get_context("spawn")
+                    pool = ProcessPoolExecutor(
+                        max_workers=self.num_workers,
+                        mp_context=ctx,
+                        initializer=_worker_init,
+                        initargs=(pickle.dumps(self.dataset),),
+                    )
+                    fetch = _worker_fetch
+                    tasks = lambda b: [(int(i), epoch) for i in b]
+                else:
+                    pool = ThreadPoolExecutor(max_workers=self.num_workers)
+                    fetch = self.dataset.__getitem__
+                    tasks = lambda b: [int(i) for i in b]
+                with pool:
                     for b in batches:
                         if stop.is_set():
                             return
-                        samples = list(pool.map(self.dataset.__getitem__, [int(i) for i in b]))
+                        samples = list(pool.map(fetch, tasks(b)))
                         out_q.put(self.collate_fn(samples, self.pad_to))
             except Exception as e:  # surface worker errors to the consumer
                 out_q.put(e)
@@ -222,6 +266,7 @@ def construct_loader(cfg, split: str, mesh_data: int = 1):
             collate_fn=collate_video,
             pad_to=_round_up(cfg.TRAIN.BATCH_SIZE * num_sample, mesh_data),
             prefetch=cfg.TPU.PREFETCH_DEPTH,
+            use_processes=bool(cfg.DATA_LOADER.USE_PROCESSES),
         )
         image_loader = None
         if num_image_ranks(cfg) > 0:
@@ -236,6 +281,7 @@ def construct_loader(cfg, split: str, mesh_data: int = 1):
                 collate_fn=collate_image,
                 pad_to=_round_up(cfg.IMAGE_TRAIN.BATCH_SIZE, mesh_data),
                 prefetch=cfg.TPU.PREFETCH_DEPTH,
+                use_processes=bool(cfg.DATA_LOADER.USE_PROCESSES),
             )
         return video_loader, image_loader
 

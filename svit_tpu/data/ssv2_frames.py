@@ -92,6 +92,29 @@ class Ssv2_frames(Ssv2):
         fpaths, boxes, contact_state = self._get_boxes(index, rng)
         frames = dutils.retry_load_images(fpaths, self._num_retries)  # [1,H,W,C]
 
+        if self.mode == "train" and cfg.TPU.DEVICE_AUG:
+            # Raw mode: canonical-size uint8 frame + pixel-coordinate boxes;
+            # the box-aware augmentation runs on-device inside the train step
+            # (svit_tpu/data/device_aug.py:device_augment_image).  Contact
+            # states were matched from the pre-augmentation boxes above —
+            # same as the host path.
+            raw = cfg.TPU.RAW_SIZE
+            flat = boxes.reshape(-1, 4)
+            frames, flat = transform.short_side_scale(
+                frames.astype(np.float32), raw, boxes=flat
+            )
+            frames, flat = transform.uniform_crop(frames, raw, 1, boxes=flat)
+            metadata = {
+                "haog_bboxes": flat.reshape(boxes.shape).astype(np.float32),
+                "contact_state": np.asarray(contact_state, np.int64),
+                "vid": self._video_names[index],
+                "label_idx": 0,
+            }
+            return (
+                np.clip(np.round(frames), 0, 255).astype(np.uint8),
+                -1, index, metadata,
+            )
+
         if self.aug:
             frames, boxes = self._aug_frames_boxes(
                 frames, boxes, spatial_idx, min_scale, max_scale, crop_size, rng

@@ -35,16 +35,36 @@ def load_image(path: str) -> np.ndarray:
 
 def retry_load_images(paths: List[str], retry: int = 10) -> np.ndarray:
     """Load images with retry (reference ``utils.py:20-48``): transient FS
-    failures back off and retry before raising."""
+    failures back off and retry before raising.
+
+    The whole frame list goes through the native libjpeg batch decoder when
+    built (one ctypes call, GIL released, decodes on native threads —
+    ``svit_tpu/native/decode.cc``); failed entries fall back to PIL."""
     for i in range(retry):
         try:
-            imgs = [load_image(p) for p in paths]
+            imgs = _load_images_batch(paths)
             return np.stack(imgs, axis=0)
         except Exception:
             if i == retry - 1:
                 raise
             logger.warning("Reading failed. Will retry: %s", paths[:1])
             time.sleep(1.0)
+
+
+def _load_images_batch(paths: List[str]) -> List[np.ndarray]:
+    decoded = None
+    try:
+        from svit_tpu.native import jpeg as native_jpeg
+
+        decoded = native_jpeg.decode_batch(list(paths))
+    except ImportError:
+        pass
+    if decoded is None:
+        return [load_image(p) for p in paths]
+    return [
+        img if img is not None else load_image(p)
+        for p, img in zip(paths, decoded)
+    ]
 
 
 def sample_seq_frames(

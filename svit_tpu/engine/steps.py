@@ -129,12 +129,28 @@ def make_train_step(
     def train_step(state: TrainState, video_batch, image_batch, rng):
         rng = jax.random.fold_in(rng, state.step)
         if device_aug_cfg is not None:
-            from svit_tpu.data.device_aug import device_augment
+            from svit_tpu.data.device_aug import (
+                device_augment,
+                device_augment_image,
+            )
 
             clips = device_augment(
                 video_batch["clips"], jax.random.fold_in(rng, 7), device_aug_cfg
             )
             video_batch = dict(video_batch, clips=clips)
+            if image_batch is not None:
+                # Box-aware image-branch augmentation: frames arrive uint8
+                # with pixel-coordinate boxes; the paired affine transform
+                # yields normalized cxcywh HAOG targets.
+                frames, haog = device_augment_image(
+                    image_batch["frames"],
+                    image_batch["haog_bboxes"],
+                    jax.random.fold_in(rng, 8),
+                    device_aug_cfg,
+                )
+                image_batch = dict(
+                    image_batch, frames=frames, haog_bboxes=haog
+                )
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, video_batch, image_batch, rng
         )

@@ -9,26 +9,31 @@ the single largest cost family of the forward pass (~28ms/fwd).
 
 This kernel computes conv + LN in one VMEM pass.  Design notes:
 
-- **Tap-aligned inputs.**  Shifting the W axis inside the kernel is a
-  sublane relayout on every tap (the TPU tiles the last two dims), which
-  costs more than the conv itself.  Instead XLA pre-builds shifted views —
-  kW W-shifted copies for stride-1, kH*kW shifted+strided (output-sized)
-  copies for strided pools — so every in-kernel tap is pure leading-dim
-  indexing: contiguous vector multiply-adds, no shuffles.
-- **Halo tiling via ``pl.Element``.**  The grid tiles (batch, t_out chunks,
-  h_out chunks); stride-1 input blocks span the conv halo with
-  element-indexed starts so 56x56 stem grids stay within VMEM.
+- **Stride-1 kernel, halo tiling via ``pl.Element``.**  The grid tiles
+  (batch, t_out chunks, h_out chunks); input blocks span the conv halo with
+  element-indexed starts so 56x56 stem grids stay within VMEM.  The 27 taps
+  are value-level slices: T/H offsets are free (untiled dims) and the kW
+  W-shifts are hoisted (a misaligned slice on the tiled W axis relays out
+  the whole operand, so it happens kW times, not kT*kH*kW).
+- **True-strided kernel via parity reshapes.**  For spatial stride s the
+  input is pre-reshaped H->(Hq, s) (free, leading dims) and W->(Wq, s*C)
+  (free, lane merge), turning every strided tap into leading-dim indexing
+  plus at most 3 hoisted lane/sublane offsets.  VPU work is output-sized.
 - **Per-head LN stats via sum+expand matmuls.**  Mosaic cannot reshape the
   lane axis into (heads, head_dim); group sums are computed as ``a @ S``
   (S [C, heads] one-hot) and broadcast back with ``@ S^T`` — in HIGHEST
   precision (the default one-pass bf16 f32 matmul loses ~1e-2 after the
   rsqrt; 6-pass is f32-exact and the [C, heads] operands make it cheap).
+  Stats run ONCE per invocation: per-frame stats serialize hundreds of tiny
+  MXU calls against the VPU tap chain.
 - Weight rows are read with keepdim [1, C] slices: extracting a 1-D row of a
   VMEM block triggers a pathological Mosaic relayout (~400s compile).
 
-Backward runs the numerics-identical XLA reference through ``jax.vjp``
-(standard recompute; the reference's grouped-conv filter gradient carries the
-SPMD-safe tap formulation from ``svit_tpu/ops/pooling.py``).
+Backward differentiates a recompute whose conv is the Pallas primitive
+``pallas_depthwise_conv`` (custom VJP: dx = flipped-filter Pallas conv of
+the zero-stuffed cotangent; dk = tap-formulated reduces, which are also
+partition-safe under SPMD — XLA's grouped-conv filter gradient is wrong on
+multi-axis meshes, see ``svit_tpu/ops/pooling.py``).
 """
 
 from __future__ import annotations
@@ -80,6 +85,7 @@ def _group_ln(a, s_ref, st_ref, ls_ref, lb_ref, head_dim: int):
 def _kernel_s1(
     x_ref, k_ref, s_ref, st_ref, ls_ref, lb_ref, o_ref,
     *, kernel: Triple, t_tile: int, h_tile: int, w_out: int, head_dim: int,
+    apply_ln: bool = True,
 ):
     """Stride-1 conv+LN over one (t, h) tile.  The input block carries the
     full (padded) W row; the 27 taps are value-level slices — T/H offsets are
@@ -115,17 +121,20 @@ def _kernel_s1(
                 w = jax.lax.slice(kv, (i, 0), (i + 1, C))
                 acc += tap.astype(jnp.float32) * w[None]
                 i += 1
-    y = _group_ln(
-        acc.reshape(t_tile * h_tile * w_out, C),
-        s_ref, st_ref, ls_ref, lb_ref, head_dim,
-    )
-    o_ref[0] = y.reshape(t_tile, h_tile, w_out, C).astype(o_ref.dtype)
+    if apply_ln:
+        y = _group_ln(
+            acc.reshape(t_tile * h_tile * w_out, C),
+            s_ref, st_ref, ls_ref, lb_ref, head_dim,
+        ).reshape(t_tile, h_tile, w_out, C)
+    else:
+        y = acc
+    o_ref[0] = y.astype(o_ref.dtype)
 
 
 def _kernel_strided(
     x_ref, k_ref, s_ref, st_ref, ls_ref, lb_ref, o_ref,
     *, kernel: Triple, s: int, t_tile: int, h_tile: int, w_out: int,
-    C: int, head_dim: int,
+    C: int, head_dim: int, apply_ln: bool = True,
 ):
     """True-strided conv+LN (spatial stride s on H and W).
 
@@ -165,11 +174,14 @@ def _kernel_strided(
                 w = jax.lax.slice(kv, (i, 0), (i + 1, C))
                 acc += tap.astype(jnp.float32) * w[None]
                 i += 1
-    y = _group_ln(
-        acc.reshape(t_tile * h_tile * w_out, C),
-        s_ref, st_ref, ls_ref, lb_ref, head_dim,
-    )
-    o_ref[0] = y.reshape(t_tile, h_tile, w_out, C).astype(o_ref.dtype)
+    if apply_ln:
+        y = _group_ln(
+            acc.reshape(t_tile * h_tile * w_out, C),
+            s_ref, st_ref, ls_ref, lb_ref, head_dim,
+        ).reshape(t_tile, h_tile, w_out, C)
+    else:
+        y = acc
+    o_ref[0] = y.astype(o_ref.dtype)
 
 
 def _pick_tiles_strided(To, Ho, Wq, w_out, s, C, kernel, itemsize):
@@ -237,7 +249,7 @@ def _pick_tiles(To, Ho, Wo, C, kernel, itemsize):
 
 
 def _forward(x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim,
-             interpret: bool):
+             interpret: bool, apply_ln: bool = True):
     B, T, H, W, C = x.shape
     kT, kH, kW = kernel
     st_, sh, sw = stride
@@ -246,7 +258,7 @@ def _forward(x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim,
         if sh == sw and sh > 1:
             out = _forward_strided(
                 x, kernel_w, ln_scale, ln_bias, kernel, sh, head_dim,
-                interpret,
+                interpret, apply_ln=apply_ln,
             )
             # temporal stride (unused by the SSv2 schedule) via subsample
             return out[:, ::st_] if st_ > 1 else out
@@ -255,7 +267,7 @@ def _forward(x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim,
         # LN is per-token) — bitwise identical.
         full = _forward(
             x, kernel_w, ln_scale, ln_bias, kernel, (1, 1, 1), head_dim,
-            interpret,
+            interpret, apply_ln=apply_ln,
         )
         return full[:, ::st_, ::sh, ::sw]
 
@@ -284,7 +296,7 @@ def _forward(x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim,
 
     kern = functools.partial(
         _kernel_s1, kernel=kernel, t_tile=t_tile, h_tile=h_tile,
-        w_out=W8, head_dim=head_dim,
+        w_out=W8, head_dim=head_dim, apply_ln=apply_ln,
     )
     grid = (B, To // t_tile, Ho // h_tile)
     tin, hin = t_tile + kT - 1, h_tile + kH - 1
@@ -319,7 +331,7 @@ def _forward(x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim,
 
 
 def _forward_strided(x, kernel_w, ln_scale, ln_bias, kernel, s, head_dim,
-                     interpret: bool):
+                     interpret: bool, apply_ln: bool = True):
     """Spatially-strided (stride s on H and W, stride 1 on T) fused pool+LN."""
     B, T, H, W, C = x.shape
     kT, kH, kW = kernel
@@ -358,7 +370,7 @@ def _forward_strided(x, kernel_w, ln_scale, ln_bias, kernel, s, head_dim,
 
     kern = functools.partial(
         _kernel_strided, kernel=kernel, s=s, t_tile=t_tile, h_tile=h_tile,
-        w_out=W8, C=C, head_dim=head_dim,
+        w_out=W8, C=C, head_dim=head_dim, apply_ln=apply_ln,
     )
     grid = (B, To // t_tile, Ho // h_tile)
     tin = t_tile + kT - 1
@@ -393,10 +405,135 @@ def _forward_strided(x, kernel_w, ln_scale, ln_bias, kernel, s, head_dim,
 
 
 def pool_ln_reference(x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim):
-    """XLA formulation with identical numerics (VJP recompute + fallback)."""
-    from svit_tpu.ops import pooling
+    """XLA formulation with identical numerics (VJP recompute + fallback).
 
-    y = pooling.depthwise_conv3d(x, kernel_w.astype(jnp.float32), tuple(stride))
+    The conv is tap-formulated (kT*kH*kW shifted strided slices, one fused
+    multiply-add chain) rather than ``conv_general_dilated``: XLA's TPU
+    depthwise conv takes a ~2ms VPU fallback path per call and its SPMD
+    filter gradient is wrong on multi-axis meshes (see
+    ``svit_tpu/ops/pooling.py``); the tap form autodiffs into pads and
+    reduces that are both fast and partitioner-safe."""
+    B, T, H, W, C = x.shape
+    kT, kH, kW = kernel
+    st_, sh, sw = stride
+    To, Ho, Wo = (
+        _out_size(d, k, s) for d, k, s in zip((T, H, W), kernel, stride)
+    )
+    pads = [(0, 0)] + [(k // 2, k // 2) for k in kernel] + [(0, 0)]
+    xp = jnp.pad(x, pads)
+    kf = kernel_w.astype(jnp.float32)
+    acc = jnp.zeros((B, To, Ho, Wo, C), jnp.float32)
+    for dt in range(kT):
+        for dh in range(kH):
+            for dw in range(kW):
+                sl = jax.lax.slice(
+                    xp,
+                    (0, dt, dh, dw, 0),
+                    (
+                        B,
+                        dt + (To - 1) * st_ + 1,
+                        dh + (Ho - 1) * sh + 1,
+                        dw + (Wo - 1) * sw + 1,
+                        C,
+                    ),
+                    (1, st_, sh, sw, 1),
+                )
+                acc = acc + sl.astype(jnp.float32) * kf[dt, dh, dw, 0]
+    h = C // head_dim
+    yf = acc.reshape(B, To, Ho, Wo, h, head_dim)
+    mean = jnp.mean(yf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(yf - mean), axis=-1, keepdims=True)
+    o = (yf - mean) * jax.lax.rsqrt(var + _EPS) * ln_scale + ln_bias
+    return o.astype(x.dtype).reshape(B, To, Ho, Wo, C)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable Pallas depthwise conv (used by the pool-LN backward).
+#
+# dx is itself a depthwise conv: zero-stuff the cotangent at the strided
+# positions, right-pad to the input extent, and convolve with the spatially
+# flipped filters at stride 1 (same padding, odd kernels).  dk is the tap
+# formulation (27 shifted multiply-reduces) — partition-safe under SPMD,
+# unlike XLA's grouped-convolution filter gradient.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def pallas_depthwise_conv(x, kernel_w, kernel, stride, head_dim):
+    """Depthwise conv (torch padding k//2), bf16 out, via the pool kernels."""
+    return _fused_pool_ln_fwd_impl(
+        x, kernel_w, jnp.ones((head_dim,), jnp.float32),
+        jnp.zeros((head_dim,), jnp.float32), kernel, stride, head_dim,
+        apply_ln=False,
+    )
+
+
+def _pdc_fwd(x, kernel_w, kernel, stride, head_dim):
+    return pallas_depthwise_conv(x, kernel_w, kernel, stride, head_dim), (
+        x, kernel_w,
+    )
+
+
+def _pdc_bwd(kernel, stride, head_dim, res, g):
+    x, kernel_w = res
+    B, T, H, W, C = x.shape
+    kT, kH, kW = kernel
+    st_, sh, sw = stride
+    g32 = g.astype(jnp.float32)
+
+    # dx: zero-stuff g to the input grid, right-pad to (T, H, W), stride-1
+    # conv with flipped filters (same padding).
+    gf = g32
+    if (st_, sh, sw) != (1, 1, 1):
+        gf = jax.lax.pad(
+            gf, jnp.float32(0),
+            [(0, 0, 0), (0, 0, st_ - 1), (0, 0, sh - 1), (0, 0, sw - 1),
+             (0, 0, 0)],
+        )
+    pad_t, pad_h, pad_w = (
+        T - gf.shape[1], H - gf.shape[2], W - gf.shape[3]
+    )
+    gf = jnp.pad(gf, [(0, 0), (0, pad_t), (0, pad_h), (0, pad_w), (0, 0)])
+    flipped = kernel_w[::-1, ::-1, ::-1]
+    dx = pallas_depthwise_conv(
+        gf, flipped, kernel, (1, 1, 1), head_dim
+    ).astype(x.dtype)
+
+    # dk: tap-formulated filter gradient (sum over batch and positions).
+    pads = [(0, 0)] + [(k // 2, k // 2) for k in kernel] + [(0, 0)]
+    xp = jnp.pad(x.astype(jnp.float32), pads)
+    To, Ho, Wo = g.shape[1:4]
+    taps = []
+    for dt in range(kT):
+        for dh in range(kH):
+            for dw in range(kW):
+                sl = jax.lax.slice(
+                    xp,
+                    (0, dt, dh, dw, 0),
+                    (
+                        B,
+                        dt + (To - 1) * st_ + 1,
+                        dh + (Ho - 1) * sh + 1,
+                        dw + (Wo - 1) * sw + 1,
+                        C,
+                    ),
+                    (1, st_, sh, sw, 1),
+                )
+                taps.append(jnp.sum(sl * g32, axis=(0, 1, 2, 3)))
+    dk = jnp.stack(taps).reshape(kT, kH, kW, 1, C).astype(kernel_w.dtype)
+    return dx, dk
+
+
+pallas_depthwise_conv.defvjp(_pdc_fwd, _pdc_bwd)
+
+
+def _pool_ln_recompute(x, kernel_w, ln_scale, ln_bias, kernel, stride,
+                       head_dim):
+    """Differentiable recompute for the fused kernel's VJP: the conv runs as
+    the Pallas primitive above (XLA's TPU depthwise conv costs ~2ms/call on
+    a VPU fallback path) and the per-head LN is plain jnp (its autodiff is
+    elementwise + small reduces)."""
+    y = pallas_depthwise_conv(x, kernel_w, kernel, stride, head_dim)
     shape = y.shape
     h = shape[-1] // head_dim
     yf = y.reshape(*shape[:-1], h, head_dim).astype(jnp.float32)
@@ -418,16 +555,18 @@ def fused_pool_ln(x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim):
 
 def _fused_pool_ln_fwd_impl(x, kernel_w, ln_scale, ln_bias,
                             kernel, stride, head_dim,
-                            interpret: Optional[bool] = None):
+                            interpret: Optional[bool] = None,
+                            apply_ln: bool = True):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if _Element is None:
+        assert apply_ln, "no reference path for the bare-conv variant"
         return pool_ln_reference(
             x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim
         )
     return _forward(
         x, kernel_w, ln_scale, ln_bias, tuple(kernel), tuple(stride),
-        head_dim, interpret,
+        head_dim, interpret, apply_ln=apply_ln,
     )
 
 
@@ -441,7 +580,9 @@ def _fpl_fwd(x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim):
 def _fpl_bwd(kernel, stride, head_dim, res, g):
     x, kernel_w, ln_scale, ln_bias = res
     _, vjp = jax.vjp(
-        lambda a, b, c, d: pool_ln_reference(a, b, c, d, kernel, stride, head_dim),
+        lambda a, b, c, d: _pool_ln_recompute(
+            a, b, c, d, kernel, stride, head_dim
+        ),
         x, kernel_w, ln_scale, ln_bias,
     )
     return vjp(g)

@@ -78,3 +78,25 @@ def test_iter_batches_resumes_mid_epoch(root):
     for a, b in zip(full[1:], tail):
         np.testing.assert_array_equal(a["index"], b["index"])
         np.testing.assert_allclose(a["clips"], b["clips"])
+
+
+def test_process_loader_matches_inline(root):
+    """Persistent process workers (dataset pickled once per worker, tasks
+    ship only (index, epoch)) must reproduce the inline stream exactly."""
+    inline = list(_loader(root, num_workers=0))
+    proc = list(_loader(root, num_workers=2, use_processes=True))
+    assert len(inline) == len(proc)
+    for a, b in zip(inline, proc):
+        np.testing.assert_array_equal(a["index"], b["index"])
+        np.testing.assert_allclose(a["clips"], b["clips"])
+
+
+def test_process_loader_sees_set_epoch(root):
+    """Workers must apply the loader's epoch (augmentation rng state) even
+    though their dataset copy was pickled at pool start."""
+    a = _loader(root, num_workers=0)
+    b = _loader(root, num_workers=2, use_processes=True)
+    a.set_epoch(3)
+    b.set_epoch(3)
+    for x, y in zip(list(a), list(b)):
+        np.testing.assert_allclose(x["clips"], y["clips"])
