@@ -156,12 +156,16 @@ def measure_tpu_train(cfg, model, params):
         "weight": jnp.ones((TRAIN_BATCH_IMAGE,), jnp.float32),
     }
     state = steps.create_train_state(params["params"], tx)
+    # donate the state (as the train engine does) — without donation each
+    # step leaves a ~500MB undead state and HBM allocation thrash triples
+    # the step time
     step_fn = jax.jit(
         steps.make_train_step(
             model, loss_obj, tx,
             video_weight=7 / 8, image_weight=1 / 8,
             with_image=True, with_consistency=True,
-        )
+        ),
+        donate_argnums=(0,),
     )
     flops = _flops_of(
         step_fn.lower(state, video, image, jax.random.PRNGKey(1)).compile()

@@ -448,6 +448,183 @@ def pool_ln_reference(x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim):
 
 
 # ---------------------------------------------------------------------------
+# Filter-gradient kernel: dk[i, c] = sum_{b,out} tap_i(x)[out, c] * g[out, c].
+# Same tap/W-hoist structure as the forward kernels; the [27, C] output is
+# accumulated across the (sequential) grid.  The XLA tap formulation costs
+# ~110ms/train-step in shifted slices; this runs at the fwd kernel's rate.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_dk_s1(
+    x_ref, g_ref, o_ref,
+    *, kernel: Triple, t_tile: int, h_tile: int, w_out: int,
+):
+    """Accumulates per-tap partial filter grads [kTHW, w_out, C]; only the
+    leading (t, h) dims are reduced in-kernel — reducing to [1, C] rows
+    forces Mosaic sublane-offset row writes (measured 3x slower than the
+    whole step), while [w_out, C] plane writes are leading-dim indexed.
+    The tiny W reduction happens outside in XLA."""
+    kT, kH, kW = kernel
+    b, t, h = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when((b == 0) & (t == 0) & (h == 0))
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    x = x_ref[0]
+    C = x.shape[-1]
+    tin, hin = x.shape[0], x.shape[1]
+    g = g_ref[0].astype(jnp.float32)
+    xw = [
+        jax.lax.slice(x, (0, 0, dw, 0), (tin, hin, dw + w_out, C))
+        for dw in range(kW)
+    ]
+    i = 0
+    for dt in range(kT):
+        for dh in range(kH):
+            for dw in range(kW):
+                tap = jax.lax.slice(
+                    xw[dw], (dt, dh, 0, 0), (dt + t_tile, dh + h_tile, w_out, C)
+                )
+                o_ref[i] += jnp.sum(
+                    tap.astype(jnp.float32) * g, axis=(0, 1)
+                )
+                i += 1
+
+
+def _kernel_dk_strided(
+    x_ref, g_ref, o_ref,
+    *, kernel: Triple, s: int, t_tile: int, h_tile: int, w_out: int, C: int,
+):
+    kT, kH, kW = kernel
+    b, t, h = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when((b == 0) & (t == 0) & (h == 0))
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    x = x_ref[0]                       # [tin, hq_in, s, Wq, s*C]
+    tin, hq_in = x.shape[0], x.shape[1]
+    g = g_ref[0].astype(jnp.float32)
+    planes = {}
+    for dw in range(kW):
+        key = (dw // s, dw % s)
+        if key not in planes:
+            o, p = key
+            planes[key] = jax.lax.slice(
+                x, (0, 0, 0, o, p * C), (tin, hq_in, s, o + w_out, p * C + C)
+            )
+    i = 0
+    for dt in range(kT):
+        for dh in range(kH):
+            for dw in range(kW):
+                pl_ = planes[(dw // s, dw % s)]
+                tap = jax.lax.slice(
+                    pl_,
+                    (dt, dh // s, dh % s, 0, 0),
+                    (dt + t_tile, dh // s + h_tile, dh % s + 1, w_out, C),
+                ).reshape(t_tile, h_tile, w_out, C)
+                o_ref[i] += jnp.sum(
+                    tap.astype(jnp.float32) * g, axis=(0, 1)
+                )
+                i += 1
+
+
+def _dk_pallas(x, g, kernel, stride, interpret: bool):
+    """Depthwise filter gradient [kT,kH,kW,1,C] via one Pallas pass."""
+    B, T, H, W, C = x.shape
+    kT, kH, kW = kernel
+    st_, sh, sw = stride
+    To, Ho, Wo = g.shape[1:4]
+    W8 = _pad8(Wo)
+    g8 = jnp.pad(
+        g, [(0, 0), (0, 0), (0, 0), (0, W8 - Wo), (0, 0)]
+    ) if W8 != Wo else g
+
+    if (sh, sw) == (1, 1) and st_ == 1:
+        pads = [
+            (0, 0),
+            (kT // 2, kT // 2),
+            (kH // 2, kH // 2),
+            (kW // 2, kW // 2 + (W8 - Wo)),
+            (0, 0),
+        ]
+        xp = jnp.pad(x, pads)
+        t_tile, h_tile = _pick_tiles(To, Ho, Wo, C, kernel, x.dtype.itemsize)
+        kern = functools.partial(
+            _kernel_dk_s1, kernel=kernel, t_tile=t_tile, h_tile=h_tile,
+            w_out=W8,
+        )
+        grid = (B, To // t_tile, Ho // h_tile)
+        tin, hin = t_tile + kT - 1, h_tile + kH - 1
+        Wp = xp.shape[3]
+        in_specs = [
+            pl.BlockSpec(
+                (
+                    _Element(1), _Element(tin), _Element(hin),
+                    _Element(Wp), _Element(C),
+                ),
+                lambda b, t, h: (b, t * t_tile, h * h_tile, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, t_tile, h_tile, W8, C), lambda b, t, h: (b, t, h, 0, 0)
+            ),
+        ]
+        operands = (xp, g8)
+    else:
+        assert sh == sw and st_ == 1, (stride,)
+        s = sh
+        Hp = H + 2 * (kH // 2)
+        Hq = -(-max(Hp, (Ho - 1) * s + kH) // s)
+        Wq = (kW - 1) // s + W8
+        pads = [
+            (0, 0),
+            (kT // 2, kT // 2),
+            (kH // 2, Hq * s - H - (kH // 2)),
+            (kW // 2, Wq * s - W - (kW // 2)),
+            (0, 0),
+        ]
+        xp = jnp.pad(x, pads)
+        Tp = xp.shape[1]
+        x6 = xp.reshape(B, Tp, Hq, s, Wq, s * C)
+        (t_tile, h_tile), _ok = _pick_tiles_strided(
+            To, Ho, Wq, W8, s, C, kernel, x.dtype.itemsize
+        )
+        kern = functools.partial(
+            _kernel_dk_strided, kernel=kernel, s=s, t_tile=t_tile,
+            h_tile=h_tile, w_out=W8, C=C,
+        )
+        grid = (B, To // t_tile, Ho // h_tile)
+        tin = t_tile + kT - 1
+        hq_in = h_tile + (kH - 1) // s
+        in_specs = [
+            pl.BlockSpec(
+                (
+                    _Element(1), _Element(tin), _Element(hq_in),
+                    _Element(s), _Element(Wq), _Element(s * C),
+                ),
+                lambda b, t, h: (b, t * t_tile, h * h_tile, 0, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, t_tile, h_tile, W8, C), lambda b, t, h: (b, t, h, 0, 0)
+            ),
+        ]
+        operands = (x6, g8)
+
+    dk = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((kT * kH * kW, W8, C), jnp.float32),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (kT * kH * kW, W8, C), lambda b, t, h: (0, 0, 0)
+        ),
+        interpret=interpret,
+    )(*operands)
+    return dk.sum(axis=1).reshape(kT, kH, kW, 1, C)
+
+
+# ---------------------------------------------------------------------------
 # Differentiable Pallas depthwise conv (used by the pool-LN backward).
 #
 # dx is itself a depthwise conv: zero-stuff the cotangent at the strided
@@ -499,28 +676,33 @@ def _pdc_bwd(kernel, stride, head_dim, res, g):
         gf, flipped, kernel, (1, 1, 1), head_dim
     ).astype(x.dtype)
 
-    # dk: tap-formulated filter gradient (sum over batch and positions).
-    pads = [(0, 0)] + [(k // 2, k // 2) for k in kernel] + [(0, 0)]
-    xp = jnp.pad(x.astype(jnp.float32), pads)
-    To, Ho, Wo = g.shape[1:4]
-    taps = []
-    for dt in range(kT):
-        for dh in range(kH):
-            for dw in range(kW):
-                sl = jax.lax.slice(
-                    xp,
-                    (0, dt, dh, dw, 0),
-                    (
-                        B,
-                        dt + (To - 1) * st_ + 1,
-                        dh + (Ho - 1) * sh + 1,
-                        dw + (Wo - 1) * sw + 1,
-                        C,
-                    ),
-                    (1, st_, sh, sw, 1),
-                )
-                taps.append(jnp.sum(sl * g32, axis=(0, 1, 2, 3)))
-    dk = jnp.stack(taps).reshape(kT, kH, kW, 1, C).astype(kernel_w.dtype)
+    # dk: tap-formulated filter gradient via the Pallas reduction kernel
+    # (the XLA formulation costs ~110ms/train-step in shifted slices).
+    interpret = jax.default_backend() == "cpu"
+    if _Element is None or (st_ != 1 or sh != sw):
+        pads = [(0, 0)] + [(k // 2, k // 2) for k in kernel] + [(0, 0)]
+        xp = jnp.pad(x.astype(jnp.float32), pads)
+        To, Ho, Wo = g.shape[1:4]
+        taps = []
+        for dt in range(kT):
+            for dh in range(kH):
+                for dw in range(kW):
+                    sl = jax.lax.slice(
+                        xp,
+                        (0, dt, dh, dw, 0),
+                        (
+                            B,
+                            dt + (To - 1) * st_ + 1,
+                            dh + (Ho - 1) * sh + 1,
+                            dw + (Wo - 1) * sw + 1,
+                            C,
+                        ),
+                        (1, st_, sh, sw, 1),
+                    )
+                    taps.append(jnp.sum(sl * g32, axis=(0, 1, 2, 3)))
+        dk = jnp.stack(taps).reshape(kT, kH, kW, 1, C).astype(kernel_w.dtype)
+    else:
+        dk = _dk_pallas(x, g, kernel, stride, interpret).astype(kernel_w.dtype)
     return dx, dk
 
 

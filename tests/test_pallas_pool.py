@@ -1,0 +1,90 @@
+"""Fused pool+LN kernel: forward/gradient parity (CPU interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from svit_tpu.ops import pallas_pool as pp
+
+KERNEL = (3, 3, 3)
+HD = 8  # small head_dim keeps interpret-mode shapes tiny
+
+
+def _np_ref(x, kw, ls, lb, stride, hd):
+    B, T, H, W, C = x.shape
+    xp = np.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    acc = np.zeros((B, T, H, W, C), np.float32)
+    for dt in range(3):
+        for dh in range(3):
+            for dw in range(3):
+                acc += (
+                    xp[:, dt : dt + T, dh : dh + H, dw : dw + W].astype(np.float32)
+                    * kw[dt, dh, dw, 0]
+                )
+    acc = acc[:, :: stride[0], :: stride[1], :: stride[2]]
+    aa = acc.reshape(*acc.shape[:-1], C // hd, hd)
+    mean = aa.mean(-1, keepdims=True)
+    var = ((aa - mean) ** 2).mean(-1, keepdims=True)
+    return (((aa - mean) / np.sqrt(var + 1e-6)) * ls + lb).reshape(acc.shape)
+
+
+def _inputs(B, T, H, W, C, seed=0):
+    rs = np.random.RandomState(seed)
+    x = rs.randn(B, T, H, W, C).astype(np.float32)
+    kw = (rs.randn(3, 3, 3, 1, C) * 0.1).astype(np.float32)
+    ls = (rs.randn(HD) * 0.1 + 1).astype(np.float32)
+    lb = (rs.randn(HD) * 0.1).astype(np.float32)
+    return x, kw, ls, lb
+
+
+@pytest.mark.parametrize(
+    "shape,stride",
+    [
+        ((2, 4, 8, 8, 16), (1, 1, 1)),
+        ((2, 4, 8, 8, 16), (1, 2, 2)),
+        ((1, 4, 16, 16, 8), (1, 4, 4)),
+        ((1, 1, 8, 8, 8), (1, 2, 2)),     # image branch T=1
+        ((1, 4, 10, 10, 8), (1, 1, 1)),   # W not a multiple of 8
+    ],
+)
+def test_forward_matches_numpy(shape, stride):
+    x, kw, ls, lb = _inputs(*shape)
+    out = pp.fused_pool_ln(
+        jnp.asarray(x), jnp.asarray(kw), jnp.asarray(ls), jnp.asarray(lb),
+        KERNEL, stride, HD,
+    )
+    ref = _np_ref(x, kw, ls, lb, stride, HD)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("stride", [(1, 1, 1), (1, 2, 2)])
+def test_gradients_match_reference_ad(stride):
+    x, kw, ls, lb = _inputs(1, 2, 8, 8, 16)
+    args = tuple(jnp.asarray(a) for a in (x, kw, ls, lb))
+    tshape = jax.eval_shape(
+        lambda: pp.pool_ln_reference(*args, KERNEL, stride, HD)
+    ).shape
+    tgt = jnp.asarray(np.random.RandomState(1).randn(*tshape), jnp.float32)
+
+    def loss(fn):
+        return lambda *a: (fn(*a, KERNEL, stride, HD) * tgt).sum()
+
+    gf = jax.grad(loss(pp.fused_pool_ln), argnums=(0, 1, 2, 3))(*args)
+    gr = jax.grad(loss(pp.pool_ln_reference), argnums=(0, 1, 2, 3))(*args)
+    for name, a, b in zip(("dx", "dk", "dls", "dlb"), gf, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4,
+            err_msg=f"gradient {name} diverges",
+        )
+
+
+def test_strided_equals_stride1_subsample():
+    x, kw, ls, lb = _inputs(1, 4, 8, 8, 16)
+    args = tuple(jnp.asarray(a) for a in (x, kw, ls, lb))
+    full = pp.fused_pool_ln(*args, KERNEL, (1, 1, 1), HD)
+    sub = pp.fused_pool_ln(*args, KERNEL, (1, 2, 2), HD)
+    np.testing.assert_allclose(
+        np.asarray(full)[:, :, ::2, ::2], np.asarray(sub), atol=1e-5
+    )
