@@ -470,7 +470,9 @@ class MultiScaleBlock(nn.Module):
 
         if self.dim_mul_in_att and self.dim != self.dim_out:
             proj = nn.Dense(self.dim_out, dtype=self.dtype, name="proj")
-            grid, extras = proj(gn), proj(en)
+            gf = gn.reshape(gn.shape[0], -1, gn.shape[-1])
+            grid = proj(gf).reshape(gn.shape[:4] + (self.dim_out,))
+            extras = proj(en)
 
         # Residual skip path: max-pool the patch grid with kernel s+1 where the
         # q stride is s (reference attention.py:503-505,549-555); extras pass
@@ -523,11 +525,18 @@ class MultiScaleBlock(nn.Module):
                 dtype=self.dtype,
                 name="mlp",
             )
-            mg = mlp(g2, deterministic=deterministic)
+            # rank-3 around the matmuls: a rank-5 Dense lowers to a 1x1x1
+            # convolution whose layout assignment derails downstream convs
+            gshape2 = g2.shape
+            g2f = g2.reshape(gshape2[0], -1, gshape2[-1])
+            mg = mlp(g2f, deterministic=deterministic).reshape(
+                gshape2[:4] + (self.dim_out,)
+            )
             me = mlp(e2, deterministic=deterministic)
             if not self.dim_mul_in_att and self.dim != self.dim_out:
                 proj = nn.Dense(self.dim_out, dtype=self.dtype, name="proj")
-                grid, extras = proj(g2), proj(e2)
+                grid = proj(g2f).reshape(gshape2[:4] + (self.dim_out,))
+                extras = proj(e2)
 
         rng2 = self.make_rng("dropout") if use_dp else None
         mg, me = _drop_path_pair(mg, me, self.drop_path, rng2, deterministic)

@@ -310,9 +310,24 @@ def _fwd(q, k, v, bias_src, scatter):
     return pooled_attention(q, k, v, bias_src, scatter), (q, k, v, bias_src, scatter)
 
 
+# Backward implementation switch (VERDICT item: keep the Pallas bwd kernel
+# only if it beats XLA recompute by >=10% at the production train shapes;
+# profiling tools flip this to ablate).
+BWD_PALLAS = True
+
+
 def _bwd(res, g):
     q, k, v, bias_src, scatter = res
-    dq, dk, dv, dbias = pooled_attention_bwd(q, k, v, bias_src, scatter, g)
+    if BWD_PALLAS:
+        dq, dk, dv, dbias = pooled_attention_bwd(q, k, v, bias_src, scatter, g)
+        return dq, dk, dv, dbias, None
+    _, vjp = jax.vjp(
+        lambda qq, kk, vv, bb: _reference_attention(
+            qq, kk, vv, bb, scatter[:, : k.shape[1]]
+        ),
+        q, k, v, bias_src,
+    )
+    dq, dk, dv, dbias = vjp(g)
     return dq, dk, dv, dbias, None
 
 
