@@ -246,6 +246,19 @@ def main():
     x = jnp.asarray(np.zeros((1, T, S, S, 3), np.float32))
     params = _host_params(model, x)
 
+    # On-hardware kernel numerics gate (tools/check_kernels_hw.py): the
+    # compiled Mosaic kernels vs XLA/f32 on this chip, fwd + bwd.  Runs
+    # first so a miscompiled kernel can never produce a "fast" bench number.
+    gate = None
+    if os.environ.get("SVIT_BENCH_SKIP_GATE", "0") != "1":
+        try:
+            sys.path.insert(0, os.path.join(REPO, "tools"))
+            from check_kernels_hw import run_gate
+
+            gate = run_gate(check_bwd=True)
+        except Exception as e:
+            print(f"kernel gate failed to run: {e}", file=sys.stderr)
+
     clips_per_sec, p50_ms, mfu_fwd, mfu_fwd_xla = measure_tpu_forward(
         cfg, model, params
     )
@@ -266,6 +279,11 @@ def main():
         "vs_baseline": round(clips_per_sec / baseline, 2),
         "p50_ms_bs1": round(p50_ms, 2),
     }
+    if gate is not None:
+        out["kernels_match_hw"] = gate["ok"]
+        out["kernel_gate_bwd_err"] = gate.get("bwd.grads_global", {}).get(
+            "err_pallas_vs_f32"
+        )
     if mfu_fwd:
         out["mfu_fwd"] = round(mfu_fwd, 4)
     if mfu_fwd_xla:

@@ -26,6 +26,7 @@ XLA fallback used by tests and non-TPU backends.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -34,6 +35,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 NEG_INF = -1e30
+
+
+def _fault_injected() -> bool:
+    """Deliberate-fault knob for the on-hardware numerics gate
+    (``tools/check_kernels_hw.py --selftest``): with SVIT_PALLAS_FAULT=1 the
+    kernel output is perturbed at trace time so the gate MUST trip — proving
+    it detects a miscompiled/misbehaving kernel rather than vacuously passing."""
+    return os.environ.get("SVIT_PALLAS_FAULT", "0") == "1"
 
 
 def _round_up(x: int, m: int) -> int:
@@ -157,6 +166,10 @@ def pooled_attention(
         out_specs=pl.BlockSpec((1, q_tile, d), lambda b, i: (b, i, 0)),
         interpret=interpret,
     )(q, k, v, bias_src, scatter)
+    if _fault_injected():
+        # emulate a lane-offset miscompile (shifted channel reads) — an
+        # additive constant would be erased by the downstream LayerNorms
+        out = jnp.roll(out, 1, axis=-1)
     return out[:, :Nq]
 
 
@@ -352,10 +365,10 @@ def build_bias_inputs_grid(
     """Assemble (bias_src [B*h, q_l, R], scatter [R, Nk_pad]) for the
     grid-native key layout ``[patch tokens | extras]`` (patches at offset 0).
 
-    Unlike :func:`build_bias_inputs` this never slices/pads the query axis:
-    the rel-pos einsums consume the patch grid directly and every grid query
-    row carries a bias; extras key columns (>= k_l) receive zero bias and
-    padding columns (>= n_k) get -inf through the scatter mask channel.
+    Never slices/pads the query axis: the rel-pos einsums consume the patch
+    grid directly and every grid query row carries a bias; extras key columns
+    (>= k_l) receive zero bias and padding columns (>= n_k) get -inf through
+    the scatter mask channel.
     """
     from svit_tpu.ops import rel_pos as rp
 
@@ -392,55 +405,4 @@ def build_bias_inputs_grid(
     ones = jnp.ones((B * num_heads, q_l, 1), jnp.float32)
     bias_src = jnp.concatenate(flat + [ones], axis=-1)
     scatter = jnp.asarray(_scatter_matrix(tuple(k_shape), n_k, n_k_pad, 0))
-    return bias_src, scatter
-
-
-def build_bias_inputs(
-    q: jax.Array,                 # [B, h, Nq, d]
-    q_shape: Tuple[int, int, int],
-    k_shape: Tuple[int, int, int],
-    n_k: int,
-    *,
-    has_cls: bool,
-    rel_pos_h: Optional[jax.Array],
-    rel_pos_w: Optional[jax.Array],
-    rel_pos_t: Optional[jax.Array],
-    q_tile: int = 512,
-):
-    """Assemble (bias_src [B*h, Nq, R], scatter [R, Nk_pad])."""
-    from svit_tpu.ops import rel_pos as rp
-
-    B, h, Nq, d = q.shape
-    sp = 1 if has_cls else 0
-    q_t, q_h, q_w = q_shape
-    k_t, k_h, k_w = k_shape
-    q_l = q_t * q_h * q_w
-    n_k_pad = _round_up(n_k, 128)
-
-    r_q = q[:, :, sp : sp + q_l].reshape(B, h, q_t, q_h, q_w, d).astype(jnp.float32)
-    terms = []
-    if rel_pos_t is not None:
-        rel_t = rp.temporal_bias_term(r_q, q_shape, k_shape, rel_pos_t)
-        terms.append(rel_t.reshape(B, h, q_l, k_t))
-    else:
-        terms.append(jnp.zeros((B, h, q_l, k_t), jnp.float32))
-    if rel_pos_h is not None:
-        rel_h, rel_w = rp.spatial_bias_terms(
-            r_q, q_shape, k_shape, rel_pos_h, rel_pos_w
-        )
-        terms.append(rel_h.reshape(B, h, q_l, k_h))
-        terms.append(rel_w.reshape(B, h, q_l, k_w))
-    else:
-        terms.append(jnp.zeros((B, h, q_l, k_h), jnp.float32))
-        terms.append(jnp.zeros((B, h, q_l, k_w), jnp.float32))
-
-    bias = jnp.concatenate(terms, axis=-1)
-    # pad query axis (cls/objects rows -> zero bias) + the mask channel of 1s
-    bias = jnp.pad(bias, ((0, 0), (0, 0), (sp, Nq - sp - q_l), (0, 0)))
-    ones = jnp.ones(bias.shape[:-1] + (1,), jnp.float32)
-    bias_src = jnp.concatenate([bias, ones], axis=-1).reshape(B * h, Nq, -1)
-
-    scatter = jnp.asarray(
-        _scatter_matrix(tuple(k_shape), n_k, n_k_pad, sp)
-    )
     return bias_src, scatter

@@ -235,17 +235,17 @@ def _pick_tiles(To, Ho, Wo, C, kernel, itemsize):
             + 3 * tt * hh * wo8 * cp * 4                             # f32 acc+temps
         )
 
-    best, best_steps = (1, 1), To * Ho
+    best, best_steps = (1, 1), None
     for tt in (t for t in range(1, To + 1) if To % t == 0):
         for hh in (h for h in range(1, Ho + 1) if Ho % h == 0):
             if need(tt, hh) > _VMEM_BUDGET:
                 continue
             steps = (To // tt) * (Ho // hh)
-            if steps < best_steps or (
+            if best_steps is None or steps < best_steps or (
                 steps == best_steps and tt * hh > best[0] * best[1]
             ):
                 best, best_steps = (tt, hh), steps
-    return best
+    return best, best_steps is not None
 
 
 def _forward(x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim,
@@ -272,10 +272,10 @@ def _forward(x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim,
         return full[:, ::st_, ::sh, ::sw]
 
     To, Ho, Wo = (_out_size(d, k, 1) for d, k in zip((T, H, W), kernel))
-    # Block shapes need an 8-divisible W: pad the output W up to W8 (the junk
-    # columns see zero input — LN turns them into the finite bias — and are
-    # sliced off after the call) and the input so every dw offset stays
-    # in bounds.
+    # Block shapes need an 8-divisible W: pad the output W up to W8 and the
+    # input so every dw offset stays in bounds.  The junk columns may read
+    # real halo data through taps and produce finite LN output — correctness
+    # relies on the [:Wo] slice below, not on the columns being zero.
     W8 = _pad8(Wo)
     pads = [
         (0, 0),
@@ -284,9 +284,16 @@ def _forward(x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim,
         (kernel[2] // 2, kernel[2] // 2 + (W8 - Wo)),
         (0, 0),
     ]
+    (t_tile, h_tile), ok = _pick_tiles(To, Ho, Wo, C, kernel, x.dtype.itemsize)
+    if not ok:
+        # no divisor tiling fits the VMEM budget at this shape: running with
+        # (1, 1) tiles would fail at Mosaic compile time, so use the XLA
+        # reference path instead
+        return pool_ln_reference(
+            x, kernel_w, ln_scale, ln_bias, kernel, (1, 1, 1), head_dim,
+            apply_ln=apply_ln,
+        )
     xp = jnp.pad(x, pads)
-
-    t_tile, h_tile = _pick_tiles(To, Ho, Wo, C, kernel, x.dtype.itemsize)
 
     kf = kernel_w.reshape(kT * kH * kW, C).astype(jnp.float32)
     s_mat, st_mat = _stat_mats(C, head_dim)
@@ -361,6 +368,13 @@ def _forward_strided(x, kernel_w, ln_scale, ln_bias, kernel, s, head_dim,
     (t_tile, h_tile), ok = _pick_tiles_strided(
         To, Ho, Wq, W8, s, C, kernel, x.dtype.itemsize
     )
+    if not ok:
+        # over-budget at every divisor tiling: fall back to the XLA
+        # reference (compiling the (1,1)-tile kernel would fail in Mosaic)
+        return pool_ln_reference(
+            x, kernel_w, ln_scale, ln_bias, kernel, (1, s, s), head_dim,
+            apply_ln=apply_ln,
+        )
 
     kf = kernel_w.reshape(kT * kH * kW, C).astype(jnp.float32)
     s_mat, st_mat = _stat_mats(C, head_dim)
@@ -404,7 +418,8 @@ def _forward_strided(x, kernel_w, ln_scale, ln_bias, kernel, s, head_dim,
     return out
 
 
-def pool_ln_reference(x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim):
+def pool_ln_reference(x, kernel_w, ln_scale, ln_bias, kernel, stride,
+                      head_dim, apply_ln: bool = True):
     """XLA formulation with identical numerics (VJP recompute + fallback).
 
     The conv is tap-formulated (kT*kH*kW shifted strided slices, one fused
@@ -412,7 +427,11 @@ def pool_ln_reference(x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim):
     depthwise conv takes a ~2ms VPU fallback path per call and its SPMD
     filter gradient is wrong on multi-axis meshes (see
     ``svit_tpu/ops/pooling.py``); the tap form autodiffs into pads and
-    reduces that are both fast and partitioner-safe."""
+    reduces that are both fast and partitioner-safe.
+
+    ``apply_ln=False`` gives the bare conv (same contract as the kernels),
+    so every fused_pool_ln/pallas_depthwise_conv call has a working fallback
+    on environments without ``pl.Element``."""
     B, T, H, W, C = x.shape
     kT, kH, kW = kernel
     st_, sh, sw = stride
@@ -420,7 +439,10 @@ def pool_ln_reference(x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim):
         _out_size(d, k, s) for d, k, s in zip((T, H, W), kernel, stride)
     )
     pads = [(0, 0)] + [(k // 2, k // 2) for k in kernel] + [(0, 0)]
-    xp = jnp.pad(x, pads)
+    # barrier: XLA-TPU fuses the pad into the strided tap-slice gathers and
+    # the fused reads can return garbage lanes (found on hardware by
+    # tools/check_kernels_hw.py; see svit_tpu/ops/pooling.py:_depthwise_bwd)
+    xp = jax.lax.optimization_barrier(jnp.pad(x, pads))
     kf = kernel_w.astype(jnp.float32)
     acc = jnp.zeros((B, To, Ho, Wo, C), jnp.float32)
     for dt in range(kT):
@@ -439,6 +461,8 @@ def pool_ln_reference(x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim):
                     (1, st_, sh, sw, 1),
                 )
                 acc = acc + sl.astype(jnp.float32) * kf[dt, dh, dw, 0]
+    if not apply_ln:
+        return acc.astype(x.dtype)
     h = C // head_dim
     yf = acc.reshape(B, To, Ho, Wo, h, head_dim)
     mean = jnp.mean(yf, axis=-1, keepdims=True)
@@ -531,7 +555,10 @@ def _kernel_dk_strided(
 
 
 def _dk_pallas(x, g, kernel, stride, interpret: bool):
-    """Depthwise filter gradient [kT,kH,kW,1,C] via one Pallas pass."""
+    """Depthwise filter gradient [kT,kH,kW,1,C] via one Pallas pass.
+
+    Returns None when no divisor tiling fits the VMEM budget (caller falls
+    back to the XLA tap formulation)."""
     B, T, H, W, C = x.shape
     kT, kH, kW = kernel
     st_, sh, sw = stride
@@ -550,7 +577,11 @@ def _dk_pallas(x, g, kernel, stride, interpret: bool):
             (0, 0),
         ]
         xp = jnp.pad(x, pads)
-        t_tile, h_tile = _pick_tiles(To, Ho, Wo, C, kernel, x.dtype.itemsize)
+        (t_tile, h_tile), ok = _pick_tiles(
+            To, Ho, Wo, C, kernel, x.dtype.itemsize
+        )
+        if not ok:
+            return None
         kern = functools.partial(
             _kernel_dk_s1, kernel=kernel, t_tile=t_tile, h_tile=h_tile,
             w_out=W8,
@@ -587,9 +618,11 @@ def _dk_pallas(x, g, kernel, stride, interpret: bool):
         xp = jnp.pad(x, pads)
         Tp = xp.shape[1]
         x6 = xp.reshape(B, Tp, Hq, s, Wq, s * C)
-        (t_tile, h_tile), _ok = _pick_tiles_strided(
+        (t_tile, h_tile), ok = _pick_tiles_strided(
             To, Ho, Wq, W8, s, C, kernel, x.dtype.itemsize
         )
+        if not ok:
+            return None
         kern = functools.partial(
             _kernel_dk_strided, kernel=kernel, s=s, t_tile=t_tile,
             h_tile=h_tile, w_out=W8, C=C,
@@ -679,9 +712,15 @@ def _pdc_bwd(kernel, stride, head_dim, res, g):
     # dk: tap-formulated filter gradient via the Pallas reduction kernel
     # (the XLA formulation costs ~110ms/train-step in shifted slices).
     interpret = jax.default_backend() == "cpu"
-    if _Element is None or (st_ != 1 or sh != sw):
+    dk = None
+    if _Element is not None and st_ == 1 and sh == sw:
+        dk = _dk_pallas(x, g, kernel, stride, interpret)  # None if over-budget
+    if dk is None:
         pads = [(0, 0)] + [(k // 2, k // 2) for k in kernel] + [(0, 0)]
-        xp = jnp.pad(x.astype(jnp.float32), pads)
+        # barrier: prevents XLA-TPU from fusing the pad into the strided
+        # tap-slice gathers (garbage lanes on hardware — see
+        # svit_tpu/ops/pooling.py:_depthwise_bwd)
+        xp = jax.lax.optimization_barrier(jnp.pad(x.astype(jnp.float32), pads))
         To, Ho, Wo = g.shape[1:4]
         taps = []
         for dt in range(kT):
@@ -700,10 +739,8 @@ def _pdc_bwd(kernel, stride, head_dim, res, g):
                         (1, st_, sh, sw, 1),
                     )
                     taps.append(jnp.sum(sl * g32, axis=(0, 1, 2, 3)))
-        dk = jnp.stack(taps).reshape(kT, kH, kW, 1, C).astype(kernel_w.dtype)
-    else:
-        dk = _dk_pallas(x, g, kernel, stride, interpret).astype(kernel_w.dtype)
-    return dx, dk
+        dk = jnp.stack(taps).reshape(kT, kH, kW, 1, C)
+    return dx, dk.astype(kernel_w.dtype)
 
 
 pallas_depthwise_conv.defvjp(_pdc_fwd, _pdc_bwd)
@@ -742,9 +779,9 @@ def _fused_pool_ln_fwd_impl(x, kernel_w, ln_scale, ln_bias,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if _Element is None:
-        assert apply_ln, "no reference path for the bare-conv variant"
         return pool_ln_reference(
-            x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim
+            x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim,
+            apply_ln=apply_ln,
         )
     return _forward(
         x, kernel_w, ln_scale, ln_bias, tuple(kernel), tuple(stride),

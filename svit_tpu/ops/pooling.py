@@ -79,6 +79,17 @@ def _tap_slices(xp: jax.Array, ksize: Triple, osize: Triple, stride: Triple):
                 )
 
 
+# Filter-gradient implementation switch.  'taps' is the production default:
+# XLA's SPMD partitioner computes WRONG filter gradients for feature-grouped
+# convolutions on a multi-axis mesh (observed rel-err ~1.0 on a
+# (data=4, model=2) mesh; single-axis meshes are fine).  'native' uses XLA's
+# own filter-grad conv — correct and fast on a single chip / single-axis
+# mesh; the on-hardware numerics gate (tools/check_kernels_hw.py) traces its
+# f32 ground-truth variant with it so the two implementations cross-check
+# each other on the real TPU.
+FILTER_GRAD_IMPL = "taps"
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def depthwise_conv3d(
     x: jax.Array, kernel: jax.Array, stride: Triple
@@ -88,12 +99,10 @@ def depthwise_conv3d(
     x: [B, T, H, W, C]; kernel: [kT, kH, kW, 1, C] (one filter per channel).
 
     Forward and the input-gradient use XLA's grouped convolution (fast, and
-    partitioner-safe). The FILTER gradient carries a custom VJP: XLA's SPMD
-    partitioner computes WRONG filter gradients for feature-grouped
-    convolutions on a multi-axis mesh (observed rel-err ~1.0 on a
-    (data=4, model=2) mesh; single-axis meshes are fine), so dk is computed
-    as kT*kH*kW shifted multiply-reduce taps — pure elementwise + reduction
-    ops that shard trivially over any mesh.
+    partitioner-safe). The FILTER gradient carries a custom VJP (see
+    ``FILTER_GRAD_IMPL``): dk is computed as kT*kH*kW shifted multiply-reduce
+    taps — pure elementwise + reduction ops that shard trivially over any
+    mesh.
     """
     return _grouped_conv3d(x, kernel, stride)
 
@@ -104,6 +113,11 @@ def _depthwise_fwd(x, kernel, stride):
 
 def _depthwise_bwd(stride, residuals, ct):
     x, kernel = residuals
+    if FILTER_GRAD_IMPL == "native":
+        _, vjp = jax.vjp(
+            lambda xx, kk: _grouped_conv3d(xx, kk, stride), x, kernel
+        )
+        return vjp(ct)
     # dx: XLA's own transpose of the grouped conv (input-grads partition
     # correctly; only the filter-grad conv is broken under SPMD).
     _, vjp_x = jax.vjp(lambda xx: _grouped_conv3d(xx, kernel, stride), x)
@@ -111,8 +125,12 @@ def _depthwise_bwd(stride, residuals, ct):
 
     ksize = kernel.shape[:3]
     pads = [(0, 0)] + _pad_cfg(ksize) + [(0, 0)]
-    xp = jnp.pad(x, pads)
-    ct32 = ct.astype(jnp.float32)
+    # optimization_barrier: without it XLA-TPU fuses the pad into the strided
+    # tap-slice gathers and the fused reads return garbage (deterministic
+    # NaNs at specific taps) — found by tools/check_kernels_hw.py on real
+    # hardware; the barrier forces the padded operand to materialize.
+    xp = jax.lax.optimization_barrier(jnp.pad(x, pads))
+    ct32 = jax.lax.optimization_barrier(ct.astype(jnp.float32))
     dk = jnp.zeros(kernel.shape, jnp.float32)
     for (dt, dh, dw), sl in _tap_slices(xp, ksize, ct.shape[1:4], stride):
         tap = jnp.sum(sl.astype(jnp.float32) * ct32, axis=(0, 1, 2, 3))

@@ -88,3 +88,53 @@ def test_strided_equals_stride1_subsample():
     np.testing.assert_allclose(
         np.asarray(full)[:, :, ::2, ::2], np.asarray(sub), atol=1e-5
     )
+
+
+def test_gradients_bf16_inputs_tolerance():
+    """ADVICE r2: the VJP recompute applies LN to the bf16-rounded conv
+    output while the fused forward normalizes the f32 accumulator, so with
+    bf16 inputs the gradients are for a slightly different function.  This
+    pins the accepted tolerance (O(bf16 eps) relative); the on-hardware gate
+    (tools/check_kernels_hw.py) additionally verifies the same bound holds
+    for the compiled kernels on the real chip."""
+    x, kw, ls, lb = _inputs(1, 2, 8, 8, 16)
+    args16 = (
+        jnp.asarray(x, jnp.bfloat16), jnp.asarray(kw),
+        jnp.asarray(ls), jnp.asarray(lb),
+    )
+    args32 = tuple(jnp.asarray(a) for a in (x, kw, ls, lb))
+    stride = (1, 2, 2)
+    tshape = jax.eval_shape(
+        lambda: pp.pool_ln_reference(*args32, KERNEL, stride, HD)
+    ).shape
+    tgt = jnp.asarray(np.random.RandomState(1).randn(*tshape), jnp.float32)
+
+    def loss(fn, a):
+        return lambda *g: (fn(*g, KERNEL, stride, HD).astype(jnp.float32) * tgt).sum()
+
+    gf = jax.grad(loss(pp.fused_pool_ln, args16), argnums=(1, 2, 3))(*args16)
+    gr = jax.grad(loss(pp.pool_ln_reference, args32), argnums=(1, 2, 3))(*args32)
+    for name, a, b in zip(("dk", "dls", "dlb"), gf, gr):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        rel = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-12)
+        assert rel < 2e-2, f"bf16-input gradient {name} rel err {rel}"
+
+
+def test_bare_conv_fallback_without_element(monkeypatch):
+    """ADVICE r2: with pl.Element unavailable both the fused forward AND the
+    bare-conv recompute path must work (the recompute used to hit an
+    assert)."""
+    monkeypatch.setattr(pp, "_Element", None)
+    x, kw, ls, lb = _inputs(1, 2, 8, 8, 16)
+    args = tuple(jnp.asarray(a) for a in (x, kw, ls, lb))
+    stride = (1, 2, 2)
+    out = pp.fused_pool_ln(*args, KERNEL, stride, HD)
+    ref = _np_ref(x, kw, ls, lb, stride, HD)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=1e-5)
+    # gradient path (recomputes through the bare conv)
+    g = jax.grad(
+        lambda *a: (pp.fused_pool_ln(*a, KERNEL, stride, HD) ** 2).sum(),
+        argnums=(0, 1),
+    )(*args)
+    assert all(bool(jnp.isfinite(t).all()) for t in g)
