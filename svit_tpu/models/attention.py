@@ -365,10 +365,12 @@ class MultiScaleAttention(nn.Module):
         if self.use_pallas:
             # Fused kernel: softmax((q*scale)@K^T + bias) @ V without the
             # HBM-resident [Nq, Nk] logits (see ops/pallas_attention.py).
-            og = pa.fused_attention(qf * scale, kf, vf, bias_src, scatter)
+            # The q scale is applied inside the kernel (VMEM) — scaling in
+            # XLA materializes a full scaled copy of q in HBM.
+            og = pa.fused_attention(qf, kf, vf, bias_src, scatter, scale)
         else:
             og = pa.reference_attention(
-                qf * scale, kf, vf, bias_src, scatter[:, :n_k]
+                qf, kf, vf, bias_src, scatter[:, :n_k], scale
             )
 
         # Extras (cls + object) queries: zero rel-pos bias (reference only

@@ -70,6 +70,45 @@ def test_custom_vjp_gradient_unaligned():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
 
 
+def test_kernel_scale_in_kernel():
+    """In-kernel q scaling == pre-scaled q, for fwd and the custom VJP."""
+    q, k, v, bias, scatter = _inputs(Nq=200)
+    scale = 0.125
+    ref = pa._reference_attention(q * scale, k, v, bias, scatter)
+    out = pa.pooled_attention(q, k, v, bias, scatter, scale=scale, q_tile=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+    def loss_fused(q, k, v, bias):
+        return (pa.fused_attention(q, k, v, bias, scatter, scale) ** 2).sum()
+
+    def loss_ref(q, k, v, bias):
+        return (
+            pa._reference_attention(q * scale, k, v, bias, scatter) ** 2
+        ).sum()
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_bias_builder_uses_compute_dtype():
+    """build_bias_inputs_grid emits bias/scatter in the query dtype (bf16 in
+    production halves the HBM traffic of the largest per-block buffers)."""
+    B, heads, hd = 1, 2, 16
+    q_shape, k_shape = (2, 4, 4), (2, 4, 4)
+    n_k = 1 + 32 + 4
+    for dt in (jnp.float32, jnp.bfloat16):
+        qg = jnp.zeros((B, 2, 4, 4, heads * hd), dt)
+        rp_h = jnp.zeros((7, hd), jnp.float32)
+        rp_t = jnp.zeros((3, hd), jnp.float32)
+        bias, scatter = pa.build_bias_inputs_grid(
+            qg, heads, q_shape, k_shape, n_k,
+            rel_pos_h=rp_h, rel_pos_w=rp_h, rel_pos_t=rp_t,
+        )
+        assert bias.dtype == dt and scatter.dtype == dt
+
+
 def test_scatter_matrix_structure():
     kshape = (2, 3, 3)
     sp = 1
