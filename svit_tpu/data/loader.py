@@ -302,6 +302,27 @@ def construct_loader(cfg, split: str, mesh_data: int = 1):
             prefetch=cfg.TPU.PREFETCH_DEPTH,
         )
 
+    if split == "image_val":
+        # Image-branch val loop (TPU-native extension; the reference's eval
+        # loss is video-branch-only — see engine/steps.make_image_eval_step).
+        ds = build_dataset("multi_images", cfg, "val")
+        if len(ds) == 0:
+            return None
+        workers = cfg.DATA_LOADER.NUM_WORKERS_VAL
+        if workers < 0:
+            workers = cfg.DATA_LOADER.NUM_WORKERS
+        return Loader(
+            ds,
+            cfg.IMAGE_TRAIN.BATCH_SIZE,
+            shuffle=False,
+            drop_last=False,
+            num_workers=workers,
+            seed=cfg.RNG_SEED,
+            collate_fn=collate_image,
+            pad_to=_round_up(cfg.IMAGE_TRAIN.BATCH_SIZE, mesh_data),
+            prefetch=cfg.TPU.PREFETCH_DEPTH,
+        )
+
     if split == "test":
         ds = build_dataset(cfg.TEST.DATASET, cfg, "test")
         return Loader(

@@ -25,6 +25,9 @@ class Multi_images:
         self.lengths = [len(d) for d in self.datasets]
         self.offsets = np.cumsum([0] + self.lengths)
         self.base_len = int(self.offsets[-1])
+        # the x100 stretch exists so the train image stream outlasts the
+        # video stream; a val pass wants each sample exactly once
+        self.multiplier = LENGTH_MULTIPLIER if mode == "train" else 1
 
     def set_epoch(self, epoch: int):
         for d in self.datasets:
@@ -32,7 +35,7 @@ class Multi_images:
                 d.set_epoch(epoch)
 
     def __len__(self):
-        return self.base_len * LENGTH_MULTIPLIER
+        return self.base_len * self.multiplier
 
     def __getitem__(self, index: int):
         index = index % self.base_len

@@ -82,13 +82,13 @@ class MultiLossMeter:
         self.totals.clear()
         self.counts.clear()
 
-    def update(self, loss_dict: Dict[str, float]):
+    def update(self, loss_dict: Dict[str, float], weight: float = 1.0):
         for k, v in loss_dict.items():
             if k not in self.meters:
                 self.meters[k] = ScalarMeter(self.window_size)
             self.meters[k].add_value(float(v))
-            self.totals[k] += float(v)
-            self.counts[k] += 1
+            self.totals[k] += float(v) * weight
+            self.counts[k] += weight
 
     def get_win_medians(self):
         return {k: m.get_win_median() for k, m in self.meters.items()}
@@ -189,6 +189,11 @@ class ValMeter:
         self.num_samples += float(count)
         if extra:
             self.extra.update(extra)
+
+    def update_image_stats(self, count, losses):
+        """Image-branch val losses (HAOG); weighted into the same extra
+        meter so they appear in the val_epoch json_stats line."""
+        self.extra.update(losses, weight=count)
 
     def log_iter_stats(self, cur_epoch: int, cur_iter: int):
         if (cur_iter + 1) % self.cfg.LOG_PERIOD != 0:

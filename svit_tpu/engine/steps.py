@@ -165,8 +165,17 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(model, num_classes: int):
-    """Eval: logits (softmax'd — eval head act) + weighted top-1/5 counts."""
+def make_eval_step(model, num_classes: int, loss_obj=None,
+                   with_consistency: bool = False):
+    """Eval: logits (softmax'd — eval head act) + weighted top-1/5 counts.
+
+    With ``loss_obj`` the step also reports the full val loss dict the
+    reference logs (``eval_extra_metrics``, ``slowfast/utils/meters.py:
+    869-883``): at eval the reference loss always takes the video branch
+    (``is_vid()`` is true when not training, ``losses.py:124``), i.e.
+    ``loss_ce`` + the consistency losses (with a frames forward,
+    ``train_net.py:243-248``) + the lambda-weighted ``loss`` total.
+    """
 
     def eval_step(params, batch):
         logits, extra = model.apply(
@@ -190,15 +199,70 @@ def make_eval_step(model, num_classes: int):
         logp = jax.nn.log_softmax(raw.astype(jnp.float32), axis=-1)
         nll = -jnp.take_along_axis(logp, safe[:, None], axis=-1)[:, 0]
         val_loss = (nll * w).sum() / jnp.maximum(w.sum(), 1.0)
-        return {
+        out = {
             "logits": logits,
             "top1_correct": c1,
             "top5_correct": c5,
             "count": w.sum(),
             "loss_ce": val_loss,
         }
+        if loss_obj is not None:
+            vdict = {"loss_ce": val_loss}
+            if with_consistency:
+                clips = batch["clips"]
+                B, T = clips.shape[0], clips.shape[1]
+                frames = clips.reshape(B * T, 1, *clips.shape[2:])
+                _, frames_extra = model.apply(
+                    {"params": params}, frames, deterministic=True
+                )
+                key = f"video_image_desc_{loss_obj.consistency_kind}_loss"
+                from svit_tpu.models.losses import consistency_loss
+
+                vdict[key] = consistency_loss(
+                    extra["obj_desc"],
+                    frames_extra["obj_desc"].reshape(
+                        B, T, -1, frames_extra["obj_desc"].shape[-1]
+                    ),
+                    loss_obj.consistency_kind,
+                )
+            vdict["loss"] = loss_obj.weighted_sum(
+                {k: v for k, v in vdict.items() if k != "loss"}
+            )
+            out.update(vdict)
+        return out
 
     return eval_step
+
+
+def make_image_eval_step(model, loss_obj):
+    """Image-branch val: HAOG losses on the image val split.
+
+    TPU-native extension: the reference never runs an image val loop (its
+    eval loss is video-branch-only, ``losses.py:124``), but the HAOG heads
+    are trained parameters — validating them catches image-branch
+    regressions the video CE can't see.
+    """
+
+    def image_eval_step(params, batch):
+        _, iextra = model.apply(
+            {"params": params}, batch["frames"], deterministic=True
+        )
+        w = batch.get("weight")
+        idict = loss_obj.image_losses(
+            iextra,
+            {
+                "haog_bboxes": batch["haog_bboxes"],
+                "contact_state": batch["contact_state"],
+            },
+            w,
+        )
+        idict["loss"] = loss_obj.weighted_sum(idict)
+        if w is None:
+            w = jnp.ones(batch["frames"].shape[0], jnp.float32)
+        idict["count"] = w.sum()
+        return idict
+
+    return image_eval_step
 
 
 def make_test_step(model):

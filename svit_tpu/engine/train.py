@@ -90,7 +90,22 @@ class Trainer:
             donate_argnums=(0,),
         )
         nc = self.arch.num_classes if isinstance(self.arch.num_classes, int) else 0
-        self.eval_jit = jax.jit(steps.make_eval_step(self.model, nc))
+        # full val loss dict (VERDICT r2 item 7): pass the loss object when
+        # it is the dict-producing kind so val logs carry the same loss keys
+        # as train (reference eval_extra_metrics, meters.py:869-883)
+        val_loss_obj = self.loss_obj if hasattr(self.loss_obj, "weighted_sum") else None
+        self.eval_jit = jax.jit(steps.make_eval_step(
+            self.model, nc, loss_obj=val_loss_obj,
+            with_consistency=with_consistency,
+        ))
+        self.image_val_loader = None
+        self.image_eval_jit = None
+        if self.with_image and val_loss_obj is not None:
+            self.image_val_loader = construct_loader(cfg, "image_val", mesh_data)
+            if self.image_val_loader is not None:
+                self.image_eval_jit = jax.jit(
+                    steps.make_image_eval_step(self.model, val_loss_obj)
+                )
         self.data_sh = meshlib.data_sharding(mesh)
 
     def _init_fn(self):
@@ -367,6 +382,7 @@ def train_epoch(cfg, trainer, state, train_meter, cur_epoch, rng,
 
 def eval_epoch(cfg, trainer, state, val_meter, cur_epoch):
     params = state.params if hasattr(state, "params") else state
+    _skip = ("logits", "top1_correct", "top5_correct", "count")
     for cur_iter, batch in enumerate(trainer.val_loader):
         vb = {k: batch[k] for k in ("clips", "labels", "weight")}
         vb = jax.device_put(vb, trainer.data_sh)
@@ -374,10 +390,25 @@ def eval_epoch(cfg, trainer, state, val_meter, cur_epoch):
         out = jax.device_get(trainer.eval_jit(params, vb))
         val_meter.update_stats(
             out["top1_correct"], out["top5_correct"], out["count"],
-            extra={"loss_ce": float(out["loss_ce"])},
+            extra={k: float(v) for k, v in out.items() if k not in _skip},
         )
         val_meter.iter_toc()
         val_meter.log_iter_stats(cur_epoch, cur_iter)
+    # image-branch val pass: HAOG losses on the image val split (extension —
+    # the reference's eval loss is video-branch-only, losses.py:124)
+    if trainer.image_eval_jit is not None:
+        for cur_iter, batch in enumerate(trainer.image_val_loader):
+            ib = {
+                k: batch[k]
+                for k in ("frames", "haog_bboxes", "contact_state", "weight")
+            }
+            ib = jax.device_put(ib, trainer.data_sh)
+            out = jax.device_get(trainer.image_eval_jit(params, ib))
+            n = float(out.pop("count"))
+            out.pop("loss")  # keep val "loss" video-only (reference parity)
+            val_meter.update_image_stats(
+                n, {k: float(v) for k, v in out.items()}
+            )
     stats = val_meter.log_epoch_stats(cur_epoch)
     val_meter.reset()
     return stats

@@ -141,3 +141,47 @@ def test_midepoch_preemption_resumes_at_step(tiny_env, tmp_path, monkeypatch):
     cfg2.SOLVER.MAX_EPOCH = 2
     state2 = train_mod.train(cfg2)
     assert int(state2.step) == 4  # zero steps lost, zero steps repeated
+
+
+def test_val_loss_keys_match_train(tiny_env):
+    """Val logs carry the same loss keys as train (VERDICT r2 item 7):
+    video CE + consistency via the eval step, HAOG losses via the
+    image-branch val pass (reference eval_extra_metrics, meters.py:869-883;
+    the image val loop is a documented extension — losses.py:124 makes the
+    reference's val loss video-branch-only)."""
+    import jax
+
+    root, out = tiny_env
+    cfg = _tiny_cfg(root, os.path.join(out, "valkeys_out"))
+    cfg.TRAIN.FORWARD_VIDEO_FRAMES = True
+    cfg.SVIT.CONSISTENCY_LOSS = "l1"
+
+    from svit_tpu.engine import meters as meters_lib
+    from svit_tpu.engine.train import Trainer, eval_epoch
+    from svit_tpu.parallel import mesh as meshlib
+
+    mesh = meshlib.build_mesh(cfg)
+    with mesh:
+        trainer = Trainer(cfg, mesh)
+        state = trainer.fresh_state()
+
+        # one train step -> the train-side loss keys
+        vb = next(iter(trainer.train_loader))
+        vb = {k: vb[k] for k in ("clips", "labels", "weight")}
+        ib = next(iter(trainer.image_loader))
+        ib = {
+            k: ib[k]
+            for k in ("frames", "haog_bboxes", "contact_state", "weight")
+        }
+        _, metrics = trainer.step_jit(state, vb, ib, jax.random.PRNGKey(0))
+        train_loss_keys = {
+            k for k in metrics if "loss" in k or k == "loss_contact_state"
+        }
+
+        assert trainer.image_eval_jit is not None
+        val_meter = meters_lib.ValMeter(len(trainer.val_loader), cfg)
+        state2 = trainer.fresh_state()
+        stats = eval_epoch(cfg, trainer, state2, val_meter, 0)
+
+    missing = train_loss_keys - set(stats)
+    assert not missing, f"val stats missing train loss keys: {missing}"
