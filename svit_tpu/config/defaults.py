@@ -400,6 +400,12 @@ _C.TPU.PROFILE_DIR = ""         # jax.profiler trace output ("" = disabled)
 # Policy-equivalent to (not bit-identical with) the host PIL pipeline.
 _C.TPU.DEVICE_AUG = False
 _C.TPU.RAW_SIZE = 320
+# Accuracy-parity guard: the device-aug policy approximates the reference's
+# PIL/imgaug distribution (no posterize/equalize/color ops, one composed
+# affine).  A run that targets reference-accuracy parity must keep the host
+# pipeline; with PARITY_STRICT=True, enabling DEVICE_AUG is a hard error
+# (otherwise a loud warning).
+_C.TPU.PARITY_STRICT = False
 
 
 def get_cfg() -> CfgNode:
@@ -435,6 +441,19 @@ def assert_and_infer_cfg(cfg: CfgNode) -> CfgNode:
 
     assert cfg.SVIT.O == 4, "HAOG head assumes O == 4 (2 hands + 2 objects)"
     assert cfg.MVIT.NORM == "layernorm", "Only layernorm is supported"
+
+    if cfg.TPU.DEVICE_AUG:
+        msg = (
+            "TPU.DEVICE_AUG uses an approximate augmentation policy "
+            "(svit_tpu/data/device_aug.py) — not distribution-identical to "
+            "the reference host pipeline; do not use it for an "
+            "accuracy-parity run"
+        )
+        if cfg.TPU.PARITY_STRICT:
+            raise ValueError(msg + " (TPU.PARITY_STRICT=True)")
+        import logging
+
+        logging.getLogger(__name__).warning(msg)
     return cfg
 
 

@@ -74,3 +74,22 @@ def test_nested_new_cfgnode():
     c = CfgNode({"A": {"B": 1}})
     assert isinstance(c.A, CfgNode)
     assert c.A.B == 1
+
+
+def test_device_aug_parity_guard(caplog):
+    """DEVICE_AUG warns by default and hard-errors under PARITY_STRICT
+    (VERDICT r2 item 9: the device policy approximates the reference
+    augmentation distribution)."""
+    import logging
+
+    cfg = get_cfg()
+    cfg.TPU.DEVICE_AUG = True
+    with caplog.at_level(logging.WARNING):
+        assert_and_infer_cfg(cfg)
+    assert any("DEVICE_AUG" in r.message for r in caplog.records)
+
+    cfg = get_cfg()
+    cfg.TPU.DEVICE_AUG = True
+    cfg.TPU.PARITY_STRICT = True
+    with pytest.raises(ValueError, match="PARITY_STRICT"):
+        assert_and_infer_cfg(cfg)
