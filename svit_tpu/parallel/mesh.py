@@ -57,9 +57,11 @@ def _param_spec(path_keys, leaf) -> P:
     keys = [str(k) for k in path_keys]
     name = keys[-1]
     parent = keys[-2] if len(keys) >= 2 else ""
-    # TP shards only the MLP (Megatron-style column->row).  The attention
-    # path keeps per-head depthwise pooling convs whose channel dim is the
-    # head_dim — sharding qkv would force GSPMD reshards around every pool.
+    # TP shards only the MLP (Megatron-style column->row) — a deliberate
+    # scope, see docs/PARITY.md "Scope of the model axis": the fused qkv
+    # param's q|k|v boundaries don't align with a uniform dim split, the
+    # per-head pool+LN between qkv and attention forces GSPMD reshards
+    # under head sharding, and stem blocks have num_heads=1.
     if parent == "fc1":
         return P(None, "model") if name == "kernel" else P("model")
     if parent == "fc2":
