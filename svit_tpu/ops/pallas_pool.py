@@ -51,6 +51,22 @@ try:  # element-indexed (overlapping) block dims
 except ImportError:  # pragma: no cover - older jax
     _Element = None
 
+try:  # native sublane rotate (compiled path)
+    from jax.experimental.pallas import tpu as _pltpu
+except ImportError:  # pragma: no cover
+    _pltpu = None
+
+
+def _roll_w(x, shift: int, axis: int, interpret: bool):
+    """Rotate ``x`` by ``shift`` along ``axis`` (the W/sublane dim).
+
+    Compiled path uses the native Mosaic rotate (``pltpu.roll``); interpret
+    mode (CPU tests) falls back to ``jnp.roll`` — identical semantics."""
+    if interpret or _pltpu is None:
+        return jnp.roll(x, shift, axis)
+    # pltpu.roll is cyclic but requires a non-negative shift
+    return _pltpu.roll(x, shift % x.shape[axis], axis)
+
 Triple = Tuple[int, int, int]
 
 _EPS = 1e-6
@@ -85,27 +101,46 @@ def _group_ln(a, s_ref, st_ref, ls_ref, lb_ref, head_dim: int):
 def _kernel_s1(
     x_ref, k_ref, s_ref, st_ref, ls_ref, lb_ref, o_ref,
     *, kernel: Triple, t_tile: int, h_tile: int, w_out: int, head_dim: int,
-    apply_ln: bool = True,
+    apply_ln: bool = True, interpret: bool = False,
 ):
     """Stride-1 conv+LN over one (t, h) tile.  The input block carries the
-    full (padded) W row; the 27 taps are value-level slices — T/H offsets are
-    free (untiled dims) and the W offset costs one sublane shift per tap,
-    which measures far below materializing shifted copies in HBM (XLA stacks
-    cost 600MB/pool in pads).  Each tap covers the whole tile in one vector
-    op, and the LN stats run ONCE per invocation — per-frame stats would
-    serialize hundreds of tiny MXU calls against the VPU tap chain."""
+    full W row WITHOUT a W halo pad: a left pad of kW//2 sublane-misaligns
+    every (W, C) row and the XLA pad before the kernel ran at gather speed
+    (~2 ms/tensor at stem shapes).  Instead the kW W-shifts are in-kernel
+    rotates (``pltpu.roll``) with the wrapped columns masked to zero — the
+    exact zero-padding conv semantics.  T/H halos stay as XLA pads (untiled
+    dims — alignment-preserving, ~copy speed).  The 27 taps are value-level
+    slices of the kW hoisted rotate planes; each tap covers the whole tile
+    in one vector op, and the LN stats run ONCE per invocation — per-frame
+    stats would serialize hundreds of tiny MXU calls against the VPU tap
+    chain."""
     kT, kH, kW = kernel
-    x = x_ref[0]                       # [t_tile+kT-1, h_tile+kH-1, Wp8, C]
+    # Upcast ONCE: the tap FMAs accumulate in f32 anyway (previously each of
+    # the 27 overlapping taps converted its slice), and Mosaic's rotate only
+    # supports 32-bit data.
+    x = x_ref[0].astype(jnp.float32)   # [t_tile+kT-1, h_tile+kH-1, W8, C]
     C = x.shape[-1]
     tin, hin = x.shape[0], x.shape[1]
+    W8 = x.shape[2]
     kv = k_ref[...]                    # [kT*kH*kW, C]
-    # Hoist the W-shift: a misaligned slice on the (tiled) W axis costs a
-    # sublane relayout of the whole operand, so take it kW times up front
-    # instead of inside all kT*kH*kW taps.
-    xw = [
-        jax.lax.slice(x, (0, 0, dw, 0), (tin, hin, dw + w_out, C))
-        for dw in range(kW)
-    ]
+    # Hoist the W-shift: one rotate per dw (kW total, not kT*kH*kW).  The
+    # roll wraps; wrapped columns are masked to zero (= conv zero padding).
+    # Right-junk input columns (W8 > w_out) are zero by construction (the
+    # XLA right-alignment pad fills zeros), so their tap contributions
+    # vanish without masking.
+    wi = jax.lax.broadcasted_iota(jnp.int32, (tin, hin, W8, C), 2)
+    xw = []
+    for dw in range(kW):
+        shift = kW // 2 - dw           # +1 (left tap) .. -1 (right tap)
+        if shift == 0:
+            xw.append(x)
+            continue
+        r = _roll_w(x, shift, 2, interpret)
+        if shift > 0:
+            r = jnp.where(wi < shift, jnp.zeros_like(r), r)
+        else:
+            r = jnp.where(wi >= W8 + shift, jnp.zeros_like(r), r)
+        xw.append(r)
     acc = jnp.zeros((t_tile, h_tile, w_out, C), jnp.float32)
     i = 0
     for dt in range(kT):
@@ -119,7 +154,7 @@ def _kernel_s1(
                 # keepdim weight slice: extracting a 1-D row of a VMEM block
                 # triggers a pathological Mosaic relayout (~400s compile)
                 w = jax.lax.slice(kv, (i, 0), (i + 1, C))
-                acc += tap.astype(jnp.float32) * w[None]
+                acc += tap * w[None]
                 i += 1
     if apply_ln:
         y = _group_ln(
@@ -134,17 +169,20 @@ def _kernel_s1(
 def _kernel_strided(
     x_ref, k_ref, s_ref, st_ref, ls_ref, lb_ref, o_ref,
     *, kernel: Triple, s: int, t_tile: int, h_tile: int, w_out: int,
-    C: int, head_dim: int, apply_ln: bool = True,
+    C: int, head_dim: int, apply_ln: bool = True, interpret: bool = False,
 ):
     """True-strided conv+LN (spatial stride s on H and W).
 
-    The input arrives pre-reshaped [tin, Hq, s, Wq, s*C]: splitting H into
-    (Hq, s) is a free leading-dim reshape and splitting W into (Wq, s*C)
-    merges the W-parity into the lane axis (contiguous, also free).  A tap at
-    output (t, h, w) with offsets (dt, dh, dw) reads
-    ``x[t+dt, h + dh//s, dh % s, w + dw//s, (dw % s)*C : +C]`` — leading-dim
-    indexing plus ONE lane/sublane-offset combination per dw, hoisted below so
-    only <=3 relayouts happen per invocation.  VPU work is output-sized
+    The input arrives pre-reshaped [tin, Hq, s, Wq, s*C] with NO W halo pad
+    (the kW//2 left pad sublane-misaligned every row and ran at gather
+    speed in XLA): splitting H into (Hq, s) is a free leading-dim reshape
+    and splitting W into (Wq, s*C) merges the W-parity into the lane axis.
+    A tap at output (t, h, w) with offsets (dt, dh, dw) reads original
+    column ``w*s + dw - kW//2 = w*s + o*s + p`` — parity plane p at Wq
+    offset ``o``; negative ``o`` (left-halo taps) becomes an in-kernel
+    sublane rotate of the plane with the wrapped columns masked to zero
+    (exact conv zero-padding semantics).  Planes are hoisted: <= kW
+    lane/sublane relayouts per invocation, and VPU work stays output-sized
     (27 * out elements), not stride-1-sized."""
     kT, kH, kW = kernel
     x = x_ref[0]                       # [tin, hq_in, s, Wq, s*C]
@@ -152,27 +190,42 @@ def _kernel_strided(
     kv = k_ref[...]
     planes = {}
     for dw in range(kW):
-        key = (dw // s, dw % s)
+        a = dw - kW // 2
+        o, p = a // s, a % s           # floor div: o may be negative
+        key = (o, p)
         if key not in planes:
-            o, p = key
-            planes[key] = jax.lax.slice(
-                x,
-                (0, 0, 0, o, p * C),
-                (tin, hq_in, s, o + w_out, p * C + C),
-            )                          # [tin, hq_in, s, w_out, C]
+            if o >= 0:
+                base = jax.lax.slice(
+                    x,
+                    (0, 0, 0, o, p * C),
+                    (tin, hq_in, s, o + w_out, p * C + C),
+                )                      # [tin, hq_in, s, w_out, C]
+                # upcast per plane (<= kW of them): taps accumulate in f32
+                # and Mosaic's rotate needs 32-bit data anyway
+                planes[key] = base.astype(jnp.float32)
+            else:
+                base = jax.lax.slice(
+                    x,
+                    (0, 0, 0, 0, p * C),
+                    (tin, hq_in, s, w_out, p * C + C),
+                ).astype(jnp.float32)
+                r = _roll_w(base, -o, 3, interpret)
+                wi = jax.lax.broadcasted_iota(jnp.int32, r.shape, 3)
+                planes[key] = jnp.where(wi < -o, jnp.zeros_like(r), r)
     acc = jnp.zeros((t_tile, h_tile, w_out, C), jnp.float32)
     i = 0
     for dt in range(kT):
         for dh in range(kH):
             for dw in range(kW):
-                pl_ = planes[(dw // s, dw % s)]
+                a = dw - kW // 2
+                pl_ = planes[(a // s, a % s)]
                 tap = jax.lax.slice(
                     pl_,
                     (dt, dh // s, dh % s, 0, 0),
                     (dt + t_tile, dh // s + h_tile, dh % s + 1, w_out, C),
                 ).reshape(t_tile, h_tile, w_out, C)
                 w = jax.lax.slice(kv, (i, 0), (i + 1, C))
-                acc += tap.astype(jnp.float32) * w[None]
+                acc += tap * w[None]
                 i += 1
     if apply_ln:
         y = _group_ln(
@@ -195,7 +248,8 @@ def _pick_tiles_strided(To, Ho, Wq, w_out, s, C, kernel, itemsize):
         hq_in = hh + (kH - 1) // s
         return (
             2 * tin * hq_in * s * _pad8(Wq) * cp * itemsize      # in x2buf
-            + 3 * tin * hq_in * s * wo8 * co * itemsize          # parity planes
+            + 3 * tin * hq_in * s * wo8 * co * 4                 # f32 parity planes
+            + tin * hq_in * s * wo8 * co * 4                     # iota mask (i32)
             + 2 * tt * hh * wo8 * co * itemsize                  # out x2buf
             + 3 * tt * hh * wo8 * co * 4                         # f32 acc+temps
         )
@@ -225,14 +279,15 @@ def _pick_tiles(To, Ho, Wo, C, kernel, itemsize):
     cp = _lane_pad(C)
     wo8 = _pad8(Wo)
 
-    wp8 = kW - 1 + wo8
-
     def need(tt, hh):
+        tin, hin = tt + kT - 1, hh + kH - 1
         return (
-            2 * (tt + kT - 1) * (hh + kH - 1) * wp8 * cp * itemsize  # in x2buf
-            + kW * (tt + kT - 1) * (hh + kH - 1) * wo8 * cp * itemsize  # xw
-            + 2 * tt * hh * wo8 * cp * itemsize                      # out x2buf
-            + 3 * tt * hh * wo8 * cp * 4                             # f32 acc+temps
+            2 * tin * hin * wo8 * cp * itemsize           # in x2buf (no W halo)
+            + tin * hin * wo8 * cp * 4                    # f32 upcast of x
+            + kW * tin * hin * wo8 * cp * 4               # f32 rotate planes
+            + tin * hin * wo8 * cp * 4                    # iota mask (i32)
+            + 2 * tt * hh * wo8 * cp * itemsize           # out x2buf
+            + 3 * tt * hh * wo8 * cp * 4                  # f32 acc+temps
         )
 
     best, best_steps = (1, 1), None
@@ -272,16 +327,19 @@ def _forward(x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim,
         return full[:, ::st_, ::sh, ::sw]
 
     To, Ho, Wo = (_out_size(d, k, 1) for d, k in zip((T, H, W), kernel))
-    # Block shapes need an 8-divisible W: pad the output W up to W8 and the
-    # input so every dw offset stays in bounds.  The junk columns may read
-    # real halo data through taps and produce finite LN output — correctness
-    # relies on the [:Wo] slice below, not on the columns being zero.
+    # T/H halos via XLA pad (untiled dims: alignment-preserving, ~copy
+    # speed).  NO W halo pad — a kW//2 left pad sublane-misaligns every
+    # (W, C) row and ran at gather speed; the kernel rotates in VMEM
+    # instead.  W is only right-padded to the 8-divisible W8 (aligned
+    # append, zero fill) so block shapes are legal; the zero fill makes
+    # junk-column tap contributions vanish and the [:Wo] slice below drops
+    # the junk outputs.
     W8 = _pad8(Wo)
     pads = [
         (0, 0),
         (kernel[0] // 2, kernel[0] // 2),
         (kernel[1] // 2, kernel[1] // 2),
-        (kernel[2] // 2, kernel[2] // 2 + (W8 - Wo)),
+        (0, W8 - Wo),
         (0, 0),
     ]
     (t_tile, h_tile), ok = _pick_tiles(To, Ho, Wo, C, kernel, x.dtype.itemsize)
@@ -303,7 +361,7 @@ def _forward(x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim,
 
     kern = functools.partial(
         _kernel_s1, kernel=kernel, t_tile=t_tile, h_tile=h_tile,
-        w_out=W8, head_dim=head_dim, apply_ln=apply_ln,
+        w_out=W8, head_dim=head_dim, apply_ln=apply_ln, interpret=interpret,
     )
     grid = (B, To // t_tile, Ho // h_tile)
     tin, hin = t_tile + kT - 1, h_tile + kH - 1
@@ -347,17 +405,21 @@ def _forward_strided(x, kernel_w, ln_scale, ln_bias, kernel, s, head_dim,
     Wo = _out_size(W, kW, s)
     W8 = _pad8(Wo)
 
-    # pad: conv halo, then up to parity-split divisibility; W additionally up
-    # to the 8-aligned output width so block shapes are legal (junk columns
-    # are LN'd to the finite bias and sliced off).
+    # pad: T/H conv halo (untiled dims, ~copy speed) + parity-split
+    # divisibility.  NO W left-halo pad (it sublane-misaligned every row and
+    # ran at gather speed): left taps become in-kernel rotates, W is only
+    # right-padded with zeros up to Wq*s so the parity reshape and the
+    # 8-aligned output width are legal (zero fill makes junk-column taps
+    # vanish; junk outputs are sliced off).
     Hp = H + 2 * (kH // 2)
     Hq = -(-max(Hp, (Ho - 1) * s + kH) // s)
-    Wq = (kW - 1) // s + W8
+    omax = (kW - 1 - kW // 2) // s
+    Wq = max(omax + W8, -(-W // s))
     pads = [
         (0, 0),
         (kT // 2, kT // 2),
         (kH // 2, Hq * s - H - (kH // 2)),
-        (kW // 2, Wq * s - W - (kW // 2)),
+        (0, Wq * s - W),
         (0, 0),
     ]
     xp = jnp.pad(x, pads)
@@ -385,6 +447,7 @@ def _forward_strided(x, kernel_w, ln_scale, ln_bias, kernel, s, head_dim,
     kern = functools.partial(
         _kernel_strided, kernel=kernel, s=s, t_tile=t_tile, h_tile=h_tile,
         w_out=W8, C=C, head_dim=head_dim, apply_ln=apply_ln,
+        interpret=interpret,
     )
     grid = (B, To // t_tile, Ho // h_tile)
     tin = t_tile + kT - 1
