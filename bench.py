@@ -90,8 +90,12 @@ def measure_tpu_forward(cfg, model, params):
     import numpy as np
 
     S, T = cfg.DATA.TEST_CROP_SIZE, cfg.DATA.NUM_FRAMES
+    # bf16 inputs when the model computes in bf16: numerically identical to
+    # the model's internal cast, halves host->device bytes, and kills a
+    # ~1.2 ms on-device convert+relayout of the [B,T,224,224,3] clip.
+    in_dt = jnp.bfloat16 if cfg.TRAIN.MIXED_PRECISION else jnp.float32
     x = jnp.asarray(
-        np.random.RandomState(0).randn(BATCH, T, S, S, 3).astype(np.float32)
+        np.random.RandomState(0).randn(BATCH, T, S, S, 3), in_dt
     )
 
     # NOTE: on the tunneled TPU platform ``block_until_ready`` does not force
@@ -100,7 +104,10 @@ def measure_tpu_forward(cfg, model, params):
     from svit_tpu.utils.flops import forward_flops
 
     fwd = jax.jit(
-        lambda p, x, s: model.apply(p, x + s * 0, deterministic=True)[0]
+        # the chain scalar must not promote bf16 inputs back to f32
+        lambda p, x, s: model.apply(
+            p, x + (s * 0).astype(x.dtype), deterministic=True
+        )[0]
     )
     flops = forward_flops(model.arch, BATCH, cfg.DATA.NUM_FRAMES)
     flops_xla = _flops_of(fwd.lower(params, x, jnp.float32(0)).compile())

@@ -107,6 +107,25 @@ class Trainer:
                     steps.make_image_eval_step(self.model, val_loss_obj)
                 )
         self.data_sh = meshlib.data_sharding(mesh)
+        # bf16 pixels over the wire under mixed precision: numerically
+        # identical to the model's internal cast (host normalization stays
+        # f32), halves host->device bytes, and removes an on-device
+        # convert+relayout of the [B,T,H,W,3] clip (~1.2 ms at batch 16).
+        # uint8 (device-aug raw mode) passes through untouched.
+        self.pixel_dtype = (
+            jnp.bfloat16 if cfg.TRAIN.MIXED_PRECISION else None
+        )
+
+    def put_batch(self, batch):
+        if self.pixel_dtype is not None:
+            batch = {
+                k: v.astype(self.pixel_dtype)
+                if getattr(v, "dtype", None) == np.float32
+                and k in ("clips", "frames")
+                else v
+                for k, v in batch.items()
+            }
+        return jax.device_put(batch, self.data_sh)
 
     def _init_fn(self):
         return self.model.init(
@@ -354,9 +373,9 @@ def train_epoch(cfg, trainer, state, train_meter, cur_epoch, rng,
                 k: image_batch[k]
                 for k in ("frames", "haog_bboxes", "contact_state", "weight")
             }
-            image_batch = jax.device_put(image_batch, trainer.data_sh)
+            image_batch = trainer.put_batch(image_batch)
         vb = {k: video_batch[k] for k in ("clips", "labels", "weight")}
-        vb = jax.device_put(vb, trainer.data_sh)
+        vb = trainer.put_batch(vb)
         train_meter.data_toc()
 
         state, metrics = trainer.step_jit(state, vb, image_batch, rng)
@@ -385,7 +404,7 @@ def eval_epoch(cfg, trainer, state, val_meter, cur_epoch):
     _skip = ("logits", "top1_correct", "top5_correct", "count")
     for cur_iter, batch in enumerate(trainer.val_loader):
         vb = {k: batch[k] for k in ("clips", "labels", "weight")}
-        vb = jax.device_put(vb, trainer.data_sh)
+        vb = trainer.put_batch(vb)
         val_meter.iter_tic()
         out = jax.device_get(trainer.eval_jit(params, vb))
         val_meter.update_stats(
@@ -402,7 +421,7 @@ def eval_epoch(cfg, trainer, state, val_meter, cur_epoch):
                 k: batch[k]
                 for k in ("frames", "haog_bboxes", "contact_state", "weight")
             }
-            ib = jax.device_put(ib, trainer.data_sh)
+            ib = trainer.put_batch(ib)
             out = jax.device_get(trainer.image_eval_jit(params, ib))
             n = float(out.pop("count"))
             out.pop("loss")  # keep val "loss" video-only (reference parity)

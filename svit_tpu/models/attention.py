@@ -120,14 +120,40 @@ class _GroupedLayerNorm(nn.Module):
 
 
 def _grouped_ln_apply(x, scale, bias, head_dim: int, epsilon: float = 1e-6):
-    """Functional per-head LN (same math as _GroupedLayerNorm.__call__)."""
+    """Functional per-head LN (same math as _GroupedLayerNorm.__call__).
+
+    ``scale``/``bias`` may be head_dim-sized (shared across heads) or full
+    channel width (the lane-fused k|v pool's concatenated params)."""
     shape = x.shape
     h = shape[-1] // head_dim
     xf = x.reshape(*shape[:-1], h, head_dim).astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    if scale.size != head_dim:
+        scale = scale.reshape(h, head_dim)
+        bias = bias.reshape(h, head_dim)
     y = (xf - mean) * jax.lax.rsqrt(var + epsilon) * scale + bias
     return y.astype(x.dtype).reshape(shape)
+
+
+class _PoolConvParams(nn.Module):
+    """Parameter container for one conv-pool path (pool_kernel + per-head
+    LN), used by the lane-fused k|v pool.  Param tree matches _PoolPath's
+    (checkpoint/converter-compatible: pool_k/pool_kernel, pool_k/norm/...)."""
+
+    head_dim: int
+    kernel: Triple
+
+    @nn.compact
+    def __call__(self):
+        ck = self.param(
+            "pool_kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
+            tuple(self.kernel) + (1, self.head_dim),
+            jnp.float32,
+        )
+        ln_s, ln_b = _LNParams(self.head_dim, name="norm")()
+        return ck, ln_s, ln_b
 
 
 class _PoolPath(nn.Module):
@@ -262,27 +288,33 @@ class MultiScaleAttention(nn.Module):
             dk = nn.Dense(dim_out, use_bias=self.qkv_bias, dtype=self.dtype, name="k")
             dv = nn.Dense(dim_out, use_bias=self.qkv_bias, dtype=self.dtype, name="v")
             qg, qe = on_flat(dq, grid), dq(extras)
-            kg, ke = on_flat(dk, grid), dk(extras)
-            vg, ve = on_flat(dv, grid), dv(extras)
+            kvg = jnp.concatenate(
+                [on_flat(dk, grid), on_flat(dv, grid)], axis=-1
+            )
+            kve = jnp.concatenate([dk(extras), dv(extras)], axis=-1)
         else:
             wk, wb = _DenseParams(grid.shape[-1], dim_out * 3, name="qkv")()
 
-            def sliced(t, i):
-                w = jax.lax.slice_in_dim(
-                    wk, i * dim_out, (i + 1) * dim_out, axis=1
-                ).astype(self.dtype)
+            def sliced(t, lo, hi):
+                # k and v are computed by ONE matmul over the contiguous
+                # [C, 2*dim_out] weight slice: k|v stay lane-fused through
+                # the pool and into the attention kernel, so no separate
+                # k/v tensors (or their pads/pools) ever hit HBM.
+                w = jax.lax.slice_in_dim(wk, lo, hi, axis=1).astype(self.dtype)
                 y = on_flat(
                     lambda u: jnp.einsum("blc,cd->bld", u.astype(self.dtype), w),
                     t,
                 )
                 if self.qkv_bias:
                     y = y + jax.lax.slice_in_dim(
-                        wb, i * dim_out, (i + 1) * dim_out, axis=0
+                        wb, lo, hi, axis=0
                     ).astype(self.dtype)
                 return y
 
-            qg, kg, vg = sliced(grid, 0), sliced(grid, 1), sliced(grid, 2)
-            qe, ke, ve = sliced(extras, 0), sliced(extras, 1), sliced(extras, 2)
+            qg = sliced(grid, 0, dim_out)
+            kvg = sliced(grid, dim_out, 3 * dim_out)
+            qe = sliced(extras, 0, dim_out)
+            kve = sliced(extras, dim_out, 3 * dim_out)
 
         pool_q_on = _needs_pool(self.kernel_q, self.stride_q)
         pool_kv_on = _needs_pool(self.kernel_kv, self.stride_kv)
@@ -298,39 +330,81 @@ class MultiScaleAttention(nn.Module):
             q_shape = tuple(qg.shape[1:4])
         k_shape = thw
         if pool_kv_on:
-            kg, ke = _PoolPath(
-                mode=self.mode, head_dim=head_dim, num_heads=heads,
-                kernel=tuple(self.kernel_kv), stride=tuple(self.stride_kv),
-                has_cls=self.has_cls, use_pallas=self.use_pallas,
-                dtype=self.dtype, name="pool_k",
-            )(kg, ke)
-            vg, ve = _PoolPath(
-                mode=self.mode, head_dim=head_dim, num_heads=heads,
-                kernel=tuple(self.kernel_kv), stride=tuple(self.stride_kv),
-                has_cls=self.has_cls, use_pallas=self.use_pallas,
-                dtype=self.dtype, name="pool_v",
-            )(vg, ve)
-            k_shape = tuple(kg.shape[1:4])
+            if self.mode == "conv":
+                # ONE pool pass for the lane-fused k|v tensor: depthwise
+                # conv + per-head LN are channel-local, so pooling the
+                # fused [.., 2C] tensor with lane-concatenated pool_k |
+                # pool_v weights is exactly pooling each separately — at
+                # half the pad/parity/kernel-launch cost.
+                ck_k, ls_k, lb_k = _PoolConvParams(
+                    head_dim=head_dim, kernel=tuple(self.kernel_kv),
+                    name="pool_k",
+                )()
+                ck_v, ls_v, lb_v = _PoolConvParams(
+                    head_dim=head_dim, kernel=tuple(self.kernel_kv),
+                    name="pool_v",
+                )()
+
+                def tile_h(t, reps):
+                    return jnp.tile(t, (1,) * (t.ndim - 1) + (reps,))
+
+                ck = jnp.concatenate(
+                    [tile_h(ck_k, heads), tile_h(ck_v, heads)], axis=-1
+                )  # [kT, kH, kW, 1, 2C]
+                ls = jnp.concatenate(
+                    [jnp.tile(ls_k, heads), jnp.tile(ls_v, heads)]
+                )  # [2C]
+                lb = jnp.concatenate(
+                    [jnp.tile(lb_k, heads), jnp.tile(lb_v, heads)]
+                )
+                mult = pooling.conv_obj_multiplier(
+                    ck, tuple(self.stride_kv)
+                ).astype(kve.dtype)
+                if self.has_cls:
+                    kve = jnp.concatenate(
+                        [kve[:, :1], kve[:, 1:] * mult], axis=1
+                    )
+                else:
+                    kve = kve * mult
+                if self.use_pallas and POOL_PALLAS:
+                    from svit_tpu.ops import pallas_pool
+
+                    kvg = pallas_pool.fused_pool_ln(
+                        kvg, ck, ls, lb,
+                        tuple(self.kernel_kv), tuple(self.stride_kv),
+                        head_dim,
+                    )
+                else:
+                    kvg = pooling.depthwise_conv3d(
+                        kvg, ck, tuple(self.stride_kv)
+                    )
+                    kvg = _grouped_ln_apply(kvg, ls, lb, head_dim)
+                kve = _grouped_ln_apply(kve, ls, lb, head_dim)
+            elif self.mode == "max":
+                kvg = pooling.max_pool3d(
+                    kvg, tuple(self.kernel_kv), tuple(self.stride_kv)
+                )
+            elif self.mode == "avg":
+                kvg = pooling.avg_pool3d(
+                    kvg, tuple(self.kernel_kv), tuple(self.stride_kv)
+                )
+            else:
+                raise NotImplementedError(f"Unsupported pool mode {self.mode}")
+            k_shape = tuple(kvg.shape[1:4])
 
         q_l = int(np.prod(q_shape))
         k_l = int(np.prod(k_shape))
         n_k = k_l + E
 
         # Keys/values: [patches | extras] — a tiny concat (K/V are pooled).
-        k_all = jnp.concatenate([kg.reshape(B, k_l, dim_out), ke], axis=1)
-        v_all = jnp.concatenate([vg.reshape(B, k_l, dim_out), ve], axis=1)
-
-        def heads_flat(t):
-            L = t.shape[1]
-            return (
-                t.reshape(B, L, heads, head_dim)
-                .transpose(0, 2, 1, 3)
-                .reshape(B * heads, L, head_dim)
-            )
-
-        qf = heads_flat(qg.reshape(B, q_l, dim_out))
-        kf = heads_flat(k_all)
-        vf = heads_flat(v_all)
+        # Everything stays channel-flat and k|v lane-fused [B, N, 2C]: the
+        # attention kernel loops heads over lane slices in VMEM, so neither
+        # a head-major [B*h, N, hd] transpose nor a k/v split (full HBM
+        # passes per block) is ever built.
+        kv_all = jnp.concatenate(
+            [kvg.reshape(B, k_l, 2 * dim_out), kve], axis=1
+        )
+        qf = qg.reshape(B, q_l, dim_out)
 
         rp_h = rp_w = rp_t = None
         if self.rel_pos_spatial:
@@ -367,17 +441,26 @@ class MultiScaleAttention(nn.Module):
             # HBM-resident [Nq, Nk] logits (see ops/pallas_attention.py).
             # The q scale is applied inside the kernel (VMEM) — scaling in
             # XLA materializes a full scaled copy of q in HBM.
-            og = pa.fused_attention(qf, kf, vf, bias_src, scatter, scale)
+            og = pa.fused_attention(
+                qf, kv_all, bias_src, scatter, scale, heads
+            )
         else:
             og = pa.reference_attention(
-                qf, kf, vf, bias_src, scatter[:, :n_k], scale
+                qf, kv_all, bias_src, scatter[:, :n_k], scale, heads
             )
 
         # Extras (cls + object) queries: zero rel-pos bias (reference only
-        # biases the patch block) — a tiny plain attention over the same K/V.
+        # biases the patch block) — a tiny plain attention over the same K/V
+        # (the K/V head split here is a transpose of the small pooled keys).
         qe_h = (qe * scale).reshape(B, E, heads, head_dim).transpose(0, 2, 1, 3)
-        kh = kf.reshape(B, heads, n_k, head_dim)
-        vh = vf.reshape(B, heads, n_k, head_dim)
+        kh = (
+            kv_all[..., :dim_out]
+            .reshape(B, n_k, heads, head_dim).transpose(0, 2, 1, 3)
+        )
+        vh = (
+            kv_all[..., dim_out:]
+            .reshape(B, n_k, heads, head_dim).transpose(0, 2, 1, 3)
+        )
         logits_e = jnp.einsum(
             "bhed,bhkd->bhek", qe_h, kh, preferred_element_type=jnp.float32
         )
@@ -399,11 +482,8 @@ class MultiScaleAttention(nn.Module):
             else:
                 oe = oe + qe_res
 
-        og = (
-            og.reshape(B, heads, q_l, head_dim)
-            .transpose(0, 2, 1, 3)
-            .reshape(B, q_l, dim_out)
-        )
+        # og is already channel-flat [B, q_l, dim_out]; only the tiny extras
+        # output needs its head axis folded back.
         oe = oe.transpose(0, 2, 1, 3).reshape(B, E, dim_out)
 
         proj = nn.Dense(dim_out, dtype=self.dtype, name="proj")

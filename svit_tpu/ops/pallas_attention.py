@@ -49,7 +49,11 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-_VMEM_BUDGET = 14 * 1024 * 1024  # leave headroom under the 16MB scoped limit
+# Stay well under the 16MB scoped limit: the budget model below tracks the
+# big buffers (logits rows, fused kv block, io rows, bias) but Mosaic also
+# materializes per-head lane-slice temporaries and softmax intermediates the
+# model can't see (measured ~1.35x the modeled bytes at multi-head shapes).
+_VMEM_BUDGET = 10 * 1024 * 1024
 
 
 @functools.lru_cache(maxsize=None)
@@ -68,13 +72,28 @@ def _best_divisor_tile(n: int, max_tile: int) -> int:
     return best
 
 
-def _pick_q_tile(q_tile: int, n_q: int, n_k_pad: int, live_f32_rows: int) -> int:
+def _pick_q_tile(q_tile: int, n_q: int, n_k_pad: int, live_f32_rows: int,
+                 c: int = 0, heads: int = 1, io_rows: int = 2,
+                 kv_f32_acc: bool = False) -> int:
     """Pick the q-tile: prefer an even divisor of Nq; fit the VMEM budget.
 
     ``live_f32_rows`` = number of concurrently-live [tile, Nk_pad] f32
     buffers (2 for forward logits+probs, 4 for backward logits/p/dp/ds).
+    ``c`` = channel width of the q blocks (heads * head_dim; the fused kv
+    block is 2c wide); ``io_rows`` = number of [tile, c] operand/result
+    blocks (q+out fwd; q+do+dq bwd); ``heads`` sizes the double-buffered
+    [heads, tile, R->128-lane] bias block; ``kv_f32_acc`` adds the
+    backward's persistent [Nk_pad, 2c] f32 dkv accumulator.
     """
-    budget_tile = _VMEM_BUDGET // (4 * live_f32_rows * n_k_pad)
+    fixed = 2 * n_k_pad * 2 * c * 2                # fused kv block, x2 buffers
+    if kv_f32_acc:
+        fixed += n_k_pad * 2 * c * 4               # dkv f32 accumulator
+    per_row = (
+        4 * live_f32_rows * n_k_pad
+        + io_rows * 2 * c * 2
+        + 2 * heads * 128 * 2                      # bias block (R lane-padded)
+    )
+    budget_tile = max(_VMEM_BUDGET - fixed, 1 << 20) // per_row
     max_tile = min(q_tile, max(256, budget_tile // 8 * 8))
     best = _best_divisor_tile(n_q, max_tile)
     if best >= 256 or (best > 0 and best >= n_q // 8):
@@ -101,78 +120,98 @@ def _scatter_matrix(
     return M
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, m_ref, o_ref, *, scale=None):
-    """One q-tile: q [1, Tq, d], k/v [1, Nk, d], bias [1, Tq, R], m [R, Nk].
+def _attn_kernel(q_ref, kv_ref, bias_ref, m_ref, o_ref, *,
+                 heads: int = 1, scale=None):
+    """One q-tile, ALL heads: q [1, Tq, C], kv [1, Nk, 2C] (keys in lanes
+    [0, C), values in [C, 2C)), bias [1, heads, Tq, R], m [R, Nk];
+    C = heads * head_dim.
 
-    ``scale`` (the 1/sqrt(hd) query scale) is applied to the q tile in VMEM in
-    the input dtype — numerically identical to scaling q in XLA beforehand,
-    but without materializing a scaled copy of q in HBM."""
-    q = q_ref[0]
-    if scale is not None:
-        q = q * jnp.asarray(scale, q.dtype)
-    k = k_ref[0]
-    logits = jax.lax.dot_general(
-        q, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    logits += jnp.dot(
-        bias_ref[0], m_ref[...], preferred_element_type=jnp.float32
-    )
-    mx = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - mx)
-    s = jnp.sum(p, axis=-1, keepdims=True)
-    out = jnp.dot(
-        p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
-    )
-    o_ref[0] = (out / s).astype(o_ref.dtype)
+    Heads are looped IN-KERNEL over lane slices of the channel axis instead
+    of a head-major [B*h, N, hd] batch layout: the head-major layout cost a
+    full HBM transpose of q and of the output per block (~10 ms/fwd) and,
+    with head_dim=96, padded every kernel operand's lane dim 96->128 (33%
+    wasted HBM bandwidth).  K and V arrive as ONE fused tensor — they are
+    produced by one matmul and pooled by one channel-local pool pass, so no
+    k|v split is ever materialized in HBM.
+
+    ``scale`` (the 1/sqrt(hd) query scale) is applied to the q tile in VMEM
+    in the input dtype — numerically identical to scaling q in XLA
+    beforehand, but without materializing a scaled copy of q in HBM."""
+    Tq, C = q_ref.shape[1], q_ref.shape[2]
+    Nk = kv_ref.shape[1]
+    hd = C // heads
+    outs = []
+    for hh in range(heads):
+        q = jax.lax.slice(q_ref[0], (0, hh * hd), (Tq, (hh + 1) * hd))
+        if scale is not None:
+            q = q * jnp.asarray(scale, q.dtype)
+        k = jax.lax.slice(kv_ref[0], (0, hh * hd), (Nk, (hh + 1) * hd))
+        logits = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        logits += jnp.dot(
+            bias_ref[0, hh], m_ref[...], preferred_element_type=jnp.float32
+        )
+        mx = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - mx)
+        s = jnp.sum(p, axis=-1, keepdims=True)
+        v = jax.lax.slice(
+            kv_ref[0], (0, C + hh * hd), (Nk, C + (hh + 1) * hd)
+        )
+        out = jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        outs.append((out / s).astype(o_ref.dtype))
+    o_ref[0] = outs[0] if heads == 1 else jnp.concatenate(outs, axis=-1)
 
 
 def pooled_attention(
-    q: jax.Array,          # [BH, Nq, d] (unscaled; see ``scale``)
-    k: jax.Array,          # [BH, Nk, d]
-    v: jax.Array,          # [BH, Nk, d]
-    bias_src: jax.Array,   # [BH, Nq, R] (last channel == 1.0)
+    q: jax.Array,          # [B, Nq, C] (unscaled; see ``scale``)
+    kv: jax.Array,         # [B, Nk, 2C] (keys | values on the lane axis)
+    bias_src: jax.Array,   # [B, heads, Nq, R] (last channel == 1.0)
     scatter: jax.Array,    # [R, Nk_pad] (same dtype as bias_src)
     *,
+    heads: int = 1,
     scale: Optional[float] = None,
     q_tile: int = 1024,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    BH, Nq, d = q.shape
-    Nk = k.shape[1]
+    B, Nq, C = q.shape
+    Nk = kv.shape[1]
     Nk_pad = scatter.shape[1]
-    R = bias_src.shape[2]
+    R = bias_src.shape[3]
     # adapt the tile: large tiles amortize grid overhead (1024 measured 4x
     # faster than 512 at the stem shapes) but live [tile, Nk_pad] f32
     # buffers must stay inside scoped VMEM
-    q_tile = _pick_q_tile(q_tile, Nq, Nk_pad, live_f32_rows=2)
+    q_tile = _pick_q_tile(q_tile, Nq, Nk_pad, live_f32_rows=2, c=C, heads=heads)
 
     Nq_pad = _round_up(Nq, q_tile)
     if Nq_pad != Nq:
         q = jnp.pad(q, ((0, 0), (0, Nq_pad - Nq), (0, 0)))
-        bias_src = jnp.pad(bias_src, ((0, 0), (0, Nq_pad - Nq), (0, 0)))
+        bias_src = jnp.pad(
+            bias_src, ((0, 0), (0, 0), (0, Nq_pad - Nq), (0, 0))
+        )
     if Nk_pad != Nk:
-        k = jnp.pad(k, ((0, 0), (0, Nk_pad - Nk), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, Nk_pad - Nk), (0, 0)))
+        kv = jnp.pad(kv, ((0, 0), (0, Nk_pad - Nk), (0, 0)))
 
-    grid = (BH, Nq_pad // q_tile)
+    grid = (B, Nq_pad // q_tile)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((BH, Nq_pad, d), q.dtype),
+        functools.partial(_attn_kernel, heads=heads, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((B, Nq_pad, C), q.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, q_tile, d), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, Nk_pad, d), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, Nk_pad, d), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, q_tile, R), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, q_tile, C), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, Nk_pad, 2 * C), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, heads, q_tile, R), lambda b, i: (b, 0, i, 0)),
             pl.BlockSpec((R, Nk_pad), lambda b, i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, q_tile, d), lambda b, i: (b, i, 0)),
+        out_specs=pl.BlockSpec((1, q_tile, C), lambda b, i: (b, i, 0)),
         interpret=interpret,
-    )(q, k, v, bias_src, scatter)
+    )(q, kv, bias_src, scatter)
     if _fault_injected():
         # emulate a lane-offset miscompile (shifted channel reads) — an
         # additive constant would be erased by the downstream LayerNorms
@@ -181,11 +220,12 @@ def pooled_attention(
 
 
 def _attn_bwd_kernel(
-    q_ref, k_ref, v_ref, bias_ref, m_ref, do_ref,
-    dq_ref, dk_ref, dv_ref, dbias_ref, *, scale=None,
+    q_ref, kv_ref, bias_ref, m_ref, do_ref,
+    dq_ref, dkv_ref, dbias_ref, *, heads: int = 1, scale=None,
 ):
-    """Backward for one q-tile; dk/dv accumulate across the (sequential)
-    q-tile grid axis via a constant output index map.
+    """Backward for one q-tile, all heads in-kernel (lane slices — see
+    ``_attn_kernel``); dkv accumulates across the (sequential) q-tile grid
+    axis via a constant output index map.
 
     S = qK^T + bias@M; P = softmax(S); O = PV
     dV += P^T dO
@@ -193,122 +233,197 @@ def _attn_bwd_kernel(
     dq = dS K ; dK += dS^T q ; dbias = dS M^T
     """
     i = pl.program_id(1)
+    Tq, C = q_ref.shape[1], q_ref.shape[2]
+    Nk = kv_ref.shape[1]
+    hd = C // heads
 
-    q = q_ref[0]
-    if scale is not None:
-        # the scaled q is what enters the logits; dq picks up the same factor
-        q = q * jnp.asarray(scale, q.dtype)
-    k = k_ref[0]
-    v = v_ref[0]
-    do = do_ref[0].astype(jnp.float32)
+    dqs, dks, dvs = [], [], []
+    for hh in range(heads):
+        q = jax.lax.slice(q_ref[0], (0, hh * hd), (Tq, (hh + 1) * hd))
+        if scale is not None:
+            # the scaled q enters the logits; dq picks up the same factor
+            q = q * jnp.asarray(scale, q.dtype)
+        k = jax.lax.slice(kv_ref[0], (0, hh * hd), (Nk, (hh + 1) * hd))
+        v = jax.lax.slice(
+            kv_ref[0], (0, C + hh * hd), (Nk, C + (hh + 1) * hd)
+        )
+        do = jax.lax.slice(
+            do_ref[0], (0, hh * hd), (Tq, (hh + 1) * hd)
+        )
+        do32 = do.astype(jnp.float32)
 
-    logits = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    logits += jnp.dot(bias_ref[0], m_ref[...], preferred_element_type=jnp.float32)
-    mx = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - mx)
-    s = jnp.sum(p, axis=-1, keepdims=True)
-    p = p / s  # [Tq, Nk] f32
+        logits = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        logits += jnp.dot(
+            bias_ref[0, hh], m_ref[...], preferred_element_type=jnp.float32
+        )
+        mx = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - mx)
+        s = jnp.sum(p, axis=-1, keepdims=True)
+        p = p / s  # [Tq, Nk] f32
 
-    # dP = dO V^T ; delta = rowsum(dO * O) = rowsum(dP * P)
-    dp = jax.lax.dot_general(
-        do, v.astype(jnp.float32),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    delta = jnp.sum(dp * p, axis=-1, keepdims=True)
-    ds = p * (dp - delta)  # [Tq, Nk] f32
+        # dP = dO V^T ; delta = rowsum(dO * O) = rowsum(dP * P)
+        dp = jax.lax.dot_general(
+            do32, v.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = p * (dp - delta)  # [Tq, Nk] f32
 
-    dq = jnp.dot(ds.astype(k.dtype), k, preferred_element_type=jnp.float32)
-    if scale is not None:
-        dq = dq * jnp.float32(scale)
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-    dbias_ref[0] = jax.lax.dot_general(
-        ds, m_ref[...],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dbias_ref.dtype)
+        dq = jnp.dot(ds.astype(k.dtype), k, preferred_element_type=jnp.float32)
+        if scale is not None:
+            dq = dq * jnp.float32(scale)
+        dqs.append(dq.astype(dq_ref.dtype))
+        dbias_ref[0, hh] = jax.lax.dot_general(
+            ds, m_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dbias_ref.dtype)
 
-    dk_tile = jax.lax.dot_general(
-        ds.astype(q.dtype), q,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dv_tile = jax.lax.dot_general(
-        p.astype(do_ref.dtype), do_ref[0],
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+        dks.append(jax.lax.dot_general(
+            ds.astype(q.dtype), q,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dkv_ref.dtype))
+        dvs.append(jax.lax.dot_general(
+            p.astype(do.dtype), do,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dkv_ref.dtype))
+
+    dq_ref[0] = dqs[0] if heads == 1 else jnp.concatenate(dqs, axis=-1)
+    dkv_tile = jnp.concatenate(dks + dvs, axis=-1)  # [Nk, 2C], k | v lanes
 
     @pl.when(i == 0)
     def _():
-        dk_ref[0] = jnp.zeros_like(dk_ref[0])
-        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+        dkv_ref[0] = jnp.zeros_like(dkv_ref[0])
 
-    dk_ref[0] += dk_tile.astype(dk_ref.dtype)
-    dv_ref[0] += dv_tile.astype(dv_ref.dtype)
+    dkv_ref[0] += dkv_tile
 
 
 def pooled_attention_bwd(
-    q, k, v, bias_src, scatter, do, *, scale: Optional[float] = None,
+    q, kv, bias_src, scatter, do, *, heads: int = 1,
+    scale: Optional[float] = None,
     q_tile: int = 1024, interpret: Optional[bool] = None,
 ):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    BH, Nq, d = q.shape
-    Nk = k.shape[1]
+    B, Nq, C = q.shape
+    Nk = kv.shape[1]
     Nk_pad = scatter.shape[1]
-    R = bias_src.shape[2]
-    q_tile = _pick_q_tile(q_tile, Nq, Nk_pad, live_f32_rows=4)
+    R = bias_src.shape[3]
+
+    # The [Nk_pad, 2C] kv block and its f32 dkv accumulator are resident for
+    # the whole pass; at the fat-C tail blocks (C=768, Nk~1.7k) they alone
+    # overflow scoped VMEM.  Split the head axis recursively at the XLA
+    # level — the operands there are pooled/tiny, so the lane slices cost
+    # microseconds, and each half runs the normal kernel.
+    resident = Nk_pad * 2 * C * (2 + 4)
+    if resident > BWD_SPLIT_BYTES and heads % 2 == 0:
+        h2, c2 = heads // 2, C // 2
+
+        def grp(t, lo):
+            return jax.lax.slice_in_dim(t, lo, lo + c2, axis=2)
+
+        halves = []
+        for g in range(2):
+            qg = grp(q, g * c2)
+            dog = grp(do, g * c2)
+            kvg = jnp.concatenate(
+                [grp(kv, g * c2), grp(kv, C + g * c2)], axis=-1
+            )
+            bg = bias_src[:, g * h2:(g + 1) * h2]
+            halves.append(pooled_attention_bwd(
+                qg, kvg, bg, scatter, dog, heads=h2, scale=scale,
+                q_tile=q_tile, interpret=interpret,
+            ))
+        (dq1, dkv1, db1), (dq2, dkv2, db2) = halves
+        dq = jnp.concatenate([dq1, dq2], axis=-1)
+        dkv = jnp.concatenate(
+            [dkv1[..., :c2], dkv2[..., :c2],
+             dkv1[..., c2:], dkv2[..., c2:]], axis=-1,
+        )
+        dbias = jnp.concatenate([db1, db2], axis=1)
+        return dq, dkv, dbias
+    q_tile = _pick_q_tile(
+        q_tile, Nq, Nk_pad, live_f32_rows=4, c=C, heads=heads, io_rows=3,
+        kv_f32_acc=True,
+    )
 
     Nq_pad = _round_up(Nq, q_tile)
     if Nq_pad != Nq:
         q = jnp.pad(q, ((0, 0), (0, Nq_pad - Nq), (0, 0)))
-        bias_src = jnp.pad(bias_src, ((0, 0), (0, Nq_pad - Nq), (0, 0)))
+        bias_src = jnp.pad(
+            bias_src, ((0, 0), (0, 0), (0, Nq_pad - Nq), (0, 0))
+        )
         do = jnp.pad(do, ((0, 0), (0, Nq_pad - Nq), (0, 0)))
     if Nk_pad != Nk:
-        k = jnp.pad(k, ((0, 0), (0, Nk_pad - Nk), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, Nk_pad - Nk), (0, 0)))
+        kv = jnp.pad(kv, ((0, 0), (0, Nk_pad - Nk), (0, 0)))
 
-    grid = (BH, Nq_pad // q_tile)
-    dq, dk, dv, dbias = pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, scale=scale),
+    grid = (B, Nq_pad // q_tile)
+    dq, dkv, dbias = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, heads=heads, scale=scale),
         out_shape=(
-            jax.ShapeDtypeStruct((BH, Nq_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((BH, Nk_pad, d), jnp.float32),
-            jax.ShapeDtypeStruct((BH, Nk_pad, d), jnp.float32),
-            jax.ShapeDtypeStruct((BH, Nq_pad, R), jnp.float32),
+            jax.ShapeDtypeStruct((B, Nq_pad, C), q.dtype),
+            jax.ShapeDtypeStruct((B, Nk_pad, 2 * C), jnp.float32),
+            jax.ShapeDtypeStruct((B, heads, Nq_pad, R), jnp.float32),
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, q_tile, d), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, Nk_pad, d), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, Nk_pad, d), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, q_tile, R), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, q_tile, C), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, Nk_pad, 2 * C), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, heads, q_tile, R), lambda b, i: (b, 0, i, 0)),
             pl.BlockSpec((R, Nk_pad), lambda b, i: (0, 0)),
-            pl.BlockSpec((1, q_tile, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, q_tile, C), lambda b, i: (b, i, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, q_tile, d), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, Nk_pad, d), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, Nk_pad, d), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, q_tile, R), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, q_tile, C), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, Nk_pad, 2 * C), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, heads, q_tile, R), lambda b, i: (b, 0, i, 0)),
         ),
         interpret=interpret,
-    )(q, k, v, bias_src, scatter, do)
+    )(q, kv, bias_src, scatter, do)
     return (
         dq[:, :Nq],
-        dk[:, :Nk].astype(k.dtype),
-        dv[:, :Nk].astype(v.dtype),
-        dbias[:, :Nq].astype(bias_src.dtype),
+        dkv[:, :Nk].astype(kv.dtype),
+        dbias[:, :, :Nq].astype(bias_src.dtype),
     )
 
 
-def _reference_attention(q, k, v, bias_src, scatter, scale=None):
+def _reference_attention(q, kv, bias_src, scatter, scale=None, heads=1):
     """XLA formulation with identical semantics (used for VJP recompute and
-    as the non-TPU fallback)."""
+    as the non-TPU fallback).  q [B, N, heads*hd]; kv [B, Nk, 2*heads*hd]
+    (keys | values on the lane axis); bias [B, heads, Nq, R]."""
+    C = q.shape[-1]
+    k = jax.lax.slice_in_dim(kv, 0, C, axis=2)
+    v = jax.lax.slice_in_dim(kv, C, 2 * C, axis=2)
+    if heads > 1:
+        B, Nq, C = q.shape
+        Nk = k.shape[1]
+        hd = C // heads
+        qh, kh, vh = (
+            t.reshape(t.shape[0], t.shape[1], heads, hd).transpose(0, 2, 1, 3)
+            for t in (q, k, v)
+        )
+        if scale is not None:
+            qh = qh * jnp.asarray(scale, qh.dtype)
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
+        )
+        logits = logits + jnp.einsum(
+            "bhqr,rk->bhqk", bias_src.astype(jnp.float32),
+            scatter[:, :Nk].astype(jnp.float32),
+        )
+        p = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum(
+            "bhqk,bhkd->bhqd", p.astype(vh.dtype), vh,
+            preferred_element_type=jnp.float32,
+        ).astype(q.dtype)
+        return out.transpose(0, 2, 1, 3).reshape(B, Nq, C)
+    bias_src = bias_src[:, 0] if bias_src.ndim == 4 else bias_src
     if scale is not None:
         q = q * jnp.asarray(scale, q.dtype)
     logits = jnp.einsum(
@@ -327,15 +442,19 @@ def _reference_attention(q, k, v, bias_src, scatter, scale=None):
 reference_attention = _reference_attention
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def fused_attention(q, k, v, bias_src, scatter, scale=None):
-    return pooled_attention(q, k, v, bias_src, scatter, scale=scale)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_attention(q, kv, bias_src, scatter, scale=None, heads=1):
+    return pooled_attention(
+        q, kv, bias_src, scatter, scale=scale, heads=heads
+    )
 
 
-def _fwd(q, k, v, bias_src, scatter, scale):
+def _fwd(q, kv, bias_src, scatter, scale, heads):
     return (
-        pooled_attention(q, k, v, bias_src, scatter, scale=scale),
-        (q, k, v, bias_src, scatter),
+        pooled_attention(
+            q, kv, bias_src, scatter, scale=scale, heads=heads
+        ),
+        (q, kv, bias_src, scatter),
     )
 
 
@@ -344,22 +463,26 @@ def _fwd(q, k, v, bias_src, scatter, scale):
 # profiling tools flip this to ablate).
 BWD_PALLAS = True
 
+# Resident-buffer threshold above which the backward splits the head axis
+# (module-level so tests can force the split path at small shapes).
+BWD_SPLIT_BYTES = 12 * 1024 * 1024
 
-def _bwd(scale, res, g):
-    q, k, v, bias_src, scatter = res
+
+def _bwd(scale, heads, res, g):
+    q, kv, bias_src, scatter = res
     if BWD_PALLAS:
-        dq, dk, dv, dbias = pooled_attention_bwd(
-            q, k, v, bias_src, scatter, g, scale=scale
+        dq, dkv, dbias = pooled_attention_bwd(
+            q, kv, bias_src, scatter, g, scale=scale, heads=heads
         )
-        return dq, dk, dv, dbias, None
+        return dq, dkv, dbias, None
     _, vjp = jax.vjp(
-        lambda qq, kk, vv, bb: _reference_attention(
-            qq, kk, vv, bb, scatter[:, : k.shape[1]], scale
+        lambda qq, kk, bb: _reference_attention(
+            qq, kk, bb, scatter[:, : kv.shape[1]], scale, heads
         ),
-        q, k, v, bias_src,
+        q, kv, bias_src,
     )
-    dq, dk, dv, dbias = vjp(g)
-    return dq, dk, dv, dbias, None
+    dq, dkv, dbias = vjp(g)
+    return dq, dkv, dbias, None
 
 
 fused_attention.defvjp(_fwd, _bwd)
@@ -380,7 +503,7 @@ def build_bias_inputs_grid(
     rel_pos_w: Optional[jax.Array],
     rel_pos_t: Optional[jax.Array],
 ):
-    """Assemble (bias_src [B*h, q_l, R], scatter [R, Nk_pad]) for the
+    """Assemble (bias_src [B, h, q_l, R], scatter [R, Nk_pad]) for the
     grid-native key layout ``[patch tokens | extras]`` (patches at offset 0).
 
     Never slices/pads the query axis: the rel-pos einsums consume the patch
@@ -426,8 +549,8 @@ def build_bias_inputs_grid(
         terms.append(jnp.zeros((B, num_heads, Tq, Hq, Wq, k_h), dt))
         terms.append(jnp.zeros((B, num_heads, Tq, Hq, Wq, k_w), dt))
 
-    flat = [t.reshape(B * num_heads, q_l, t.shape[-1]) for t in terms]
-    ones = jnp.ones((B * num_heads, q_l, 1), dt)
+    flat = [t.reshape(B, num_heads, q_l, t.shape[-1]) for t in terms]
+    ones = jnp.ones((B, num_heads, q_l, 1), dt)
     bias_src = jnp.concatenate(flat + [ones], axis=-1)
     scatter = jnp.asarray(_scatter_matrix(tuple(k_shape), n_k, n_k_pad, 0), dt)
     return bias_src, scatter

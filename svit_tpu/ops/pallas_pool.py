@@ -85,6 +85,20 @@ def _lane_pad(c: int) -> int:
     return ((c + 127) // 128) * 128
 
 
+
+def _expand_ln(ln_scale, ln_bias, C: int, head_dim: int):
+    """LN params of size head_dim (tiled across heads) OR already full
+    channel width C (e.g. the lane-fused k|v pool, whose scale is the
+    concat of two per-head param sets)."""
+    heads = C // head_dim
+    ls = ln_scale.astype(jnp.float32)
+    lb = ln_bias.astype(jnp.float32)
+    if ls.shape[0] != C:
+        ls = jnp.tile(ls, heads)
+        lb = jnp.tile(lb, heads)
+    return ls.reshape(1, C), lb.reshape(1, C)
+
+
 def _group_ln(a, s_ref, st_ref, ls_ref, lb_ref, head_dim: int):
     """Per-head LN over [rows, C] via sum+expand matmuls (f32)."""
     hp = dict(precision=jax.lax.Precision.HIGHEST,
@@ -356,8 +370,7 @@ def _forward(x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim,
     kf = kernel_w.reshape(kT * kH * kW, C).astype(jnp.float32)
     s_mat, st_mat = _stat_mats(C, head_dim)
     heads = C // head_dim
-    ls = jnp.tile(ln_scale.astype(jnp.float32), heads).reshape(1, C)
-    lb = jnp.tile(ln_bias.astype(jnp.float32), heads).reshape(1, C)
+    ls, lb = _expand_ln(ln_scale, ln_bias, C, head_dim)
 
     kern = functools.partial(
         _kernel_s1, kernel=kernel, t_tile=t_tile, h_tile=h_tile,
@@ -441,8 +454,7 @@ def _forward_strided(x, kernel_w, ln_scale, ln_bias, kernel, s, head_dim,
     kf = kernel_w.reshape(kT * kH * kW, C).astype(jnp.float32)
     s_mat, st_mat = _stat_mats(C, head_dim)
     heads = C // head_dim
-    ls = jnp.tile(ln_scale.astype(jnp.float32), heads).reshape(1, C)
-    lb = jnp.tile(ln_bias.astype(jnp.float32), heads).reshape(1, C)
+    ls, lb = _expand_ln(ln_scale, ln_bias, C, head_dim)
 
     kern = functools.partial(
         _kernel_strided, kernel=kernel, s=s, t_tile=t_tile, h_tile=h_tile,
@@ -530,7 +542,12 @@ def pool_ln_reference(x, kernel_w, ln_scale, ln_bias, kernel, stride,
     yf = acc.reshape(B, To, Ho, Wo, h, head_dim)
     mean = jnp.mean(yf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(yf - mean), axis=-1, keepdims=True)
-    o = (yf - mean) * jax.lax.rsqrt(var + _EPS) * ln_scale + ln_bias
+    ls, lb = ln_scale, ln_bias
+    if ls.shape[-1] != head_dim:
+        # full-channel-width params (lane-fused k|v pool)
+        ls = ls.reshape(h, head_dim)
+        lb = lb.reshape(h, head_dim)
+    o = (yf - mean) * jax.lax.rsqrt(var + _EPS) * ls + lb
     return o.astype(x.dtype).reshape(B, To, Ho, Wo, C)
 
 
@@ -821,7 +838,12 @@ def _pool_ln_recompute(x, kernel_w, ln_scale, ln_bias, kernel, stride,
     yf = y.reshape(*shape[:-1], h, head_dim).astype(jnp.float32)
     mean = jnp.mean(yf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(yf - mean), axis=-1, keepdims=True)
-    o = (yf - mean) * jax.lax.rsqrt(var + _EPS) * ln_scale + ln_bias
+    ls, lb = ln_scale, ln_bias
+    if ls.shape[-1] != head_dim:
+        # full-channel-width params (lane-fused k|v pool)
+        ls = ls.reshape(h, head_dim)
+        lb = lb.reshape(h, head_dim)
+    o = (yf - mean) * jax.lax.rsqrt(var + _EPS) * ls + lb
     return o.astype(x.dtype).reshape(shape)
 
 

@@ -9,85 +9,86 @@ import jax.numpy as jnp
 from svit_tpu.ops import pallas_attention as pa
 
 
-def _inputs(BH=2, Nq=300, kshape=(2, 4, 4), d=32, n_obj=8, seed=0):
+def _inputs(B=2, Nq=300, kshape=(2, 4, 4), d=32, n_obj=8, seed=0, heads=1):
+    """q [B, N, heads*d]; kv lane-fused [B, Nk, 2*heads*d]; bias [B, heads, Nq, R]."""
     rng = np.random.RandomState(seed)
     sp = 1
+    C = heads * d
     Nk = sp + int(np.prod(kshape)) + n_obj
-    q = jnp.asarray(rng.randn(BH, Nq, d).astype(np.float32) * 0.2)
-    k = jnp.asarray(rng.randn(BH, Nk, d).astype(np.float32) * 0.2)
-    v = jnp.asarray(rng.randn(BH, Nk, d).astype(np.float32) * 0.2)
+    q = jnp.asarray(rng.randn(B, Nq, C).astype(np.float32) * 0.2)
+    kv = jnp.asarray(rng.randn(B, Nk, 2 * C).astype(np.float32) * 0.2)
     R = sum(kshape) + 1
-    bias = rng.randn(BH, Nq, R).astype(np.float32) * 0.2
+    bias = rng.randn(B, heads, Nq, R).astype(np.float32) * 0.2
     bias[..., -1] = 1.0
     scatter = jnp.asarray(
         pa._scatter_matrix(kshape, Nk, pa._round_up(Nk, 128), sp)
     )
-    return q, k, v, jnp.asarray(bias), scatter
+    return q, kv, jnp.asarray(bias), scatter
 
 
 def test_kernel_matches_reference():
-    q, k, v, bias, scatter = _inputs()
-    ref = pa._reference_attention(q, k, v, bias, scatter)
-    out = pa.pooled_attention(q, k, v, bias, scatter, q_tile=128)
+    q, kv, bias, scatter = _inputs()
+    ref = pa._reference_attention(q, kv, bias, scatter)
+    out = pa.pooled_attention(q, kv, bias, scatter, q_tile=128)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
 
 def test_kernel_unaligned_nq():
-    q, k, v, bias, scatter = _inputs(Nq=131)
-    ref = pa._reference_attention(q, k, v, bias, scatter)
-    out = pa.pooled_attention(q, k, v, bias, scatter, q_tile=128)
+    q, kv, bias, scatter = _inputs(Nq=131)
+    ref = pa._reference_attention(q, kv, bias, scatter)
+    out = pa.pooled_attention(q, kv, bias, scatter, q_tile=128)
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
 
 def test_custom_vjp_gradient():
-    q, k, v, bias, scatter = _inputs(Nq=128)
+    q, kv, bias, scatter = _inputs(Nq=128)
 
-    def loss_fused(q, k, v, bias):
-        return (pa.fused_attention(q, k, v, bias, scatter) ** 2).sum()
+    def loss_fused(q, kv, bias):
+        return (pa.fused_attention(q, kv, bias, scatter) ** 2).sum()
 
-    def loss_ref(q, k, v, bias):
-        return (pa._reference_attention(q, k, v, bias, scatter) ** 2).sum()
+    def loss_ref(q, kv, bias):
+        return (pa._reference_attention(q, kv, bias, scatter) ** 2).sum()
 
-    g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, bias)
-    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(q, kv, bias)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, kv, bias)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
 
 
 def test_custom_vjp_gradient_unaligned():
-    q, k, v, bias, scatter = _inputs(Nq=200)
+    q, kv, bias, scatter = _inputs(Nq=200)
 
-    def loss_fused(q, k, v, bias):
-        return (pa.fused_attention(q, k, v, bias, scatter) ** 2).sum()
+    def loss_fused(q, kv, bias):
+        return (pa.fused_attention(q, kv, bias, scatter) ** 2).sum()
 
-    def loss_ref(q, k, v, bias):
-        return (pa._reference_attention(q, k, v, bias, scatter) ** 2).sum()
+    def loss_ref(q, kv, bias):
+        return (pa._reference_attention(q, kv, bias, scatter) ** 2).sum()
 
-    g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, bias)
-    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(q, kv, bias)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, kv, bias)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
 
 
 def test_kernel_scale_in_kernel():
     """In-kernel q scaling == pre-scaled q, for fwd and the custom VJP."""
-    q, k, v, bias, scatter = _inputs(Nq=200)
+    q, kv, bias, scatter = _inputs(Nq=200)
     scale = 0.125
-    ref = pa._reference_attention(q * scale, k, v, bias, scatter)
-    out = pa.pooled_attention(q, k, v, bias, scatter, scale=scale, q_tile=128)
+    ref = pa._reference_attention(q * scale, kv, bias, scatter)
+    out = pa.pooled_attention(q, kv, bias, scatter, scale=scale, q_tile=128)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
-    def loss_fused(q, k, v, bias):
-        return (pa.fused_attention(q, k, v, bias, scatter, scale) ** 2).sum()
+    def loss_fused(q, kv, bias):
+        return (pa.fused_attention(q, kv, bias, scatter, scale) ** 2).sum()
 
-    def loss_ref(q, k, v, bias):
+    def loss_ref(q, kv, bias):
         return (
-            pa._reference_attention(q * scale, k, v, bias, scatter) ** 2
+            pa._reference_attention(q * scale, kv, bias, scatter) ** 2
         ).sum()
 
-    g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, bias)
-    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(q, kv, bias)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, kv, bias)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
 
@@ -233,3 +234,40 @@ def test_fused_ln_dense_matches_reference():
     g1 = jax.grad(lambda x: (pf.fused_ln_dense(x, ls, lb, w, b) ** 2).sum())(x)
     g2 = jax.grad(lambda x: (pf._ln_dense_reference(x, ls, lb, w, b) ** 2).sum())(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-3, atol=1e-3)
+
+
+def test_kernel_multihead_matches_reference():
+    """In-kernel head loop (lane slices) == per-head XLA reference."""
+    q, kv, bias, scatter = _inputs(Nq=256, heads=2, d=32)
+    ref = pa._reference_attention(q, kv, bias, scatter, heads=2)
+    out = pa.pooled_attention(q, kv, bias, scatter, heads=2, q_tile=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_custom_vjp_gradient_multihead():
+    q, kv, bias, scatter = _inputs(Nq=200, heads=2, d=32)
+    scale = 0.17
+
+    def loss_fused(q, kv, bias):
+        return (pa.fused_attention(q, kv, bias, scatter, scale, 2) ** 2).sum()
+
+    def loss_ref(q, kv, bias):
+        return (
+            pa._reference_attention(q, kv, bias, scatter, scale, 2) ** 2
+        ).sum()
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(q, kv, bias)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, kv, bias)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_bwd_head_split_matches(monkeypatch):
+    """The VMEM head-split backward (fat-C tail blocks) == unsplit grads."""
+    q, kv, bias, scatter = _inputs(Nq=128, heads=2, d=32)
+    do = jnp.ones((q.shape[0], q.shape[1], q.shape[2]), q.dtype)
+    ref = pa.pooled_attention_bwd(q, kv, bias, scatter, do, heads=2)
+    monkeypatch.setattr(pa, "BWD_SPLIT_BYTES", 0)
+    out = pa.pooled_attention_bwd(q, kv, bias, scatter, do, heads=2)
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
