@@ -119,6 +119,15 @@ class _GroupedLayerNorm(nn.Module):
         return y.astype(orig_dtype).reshape(shape)
 
 
+def _ln_functional(x, scale, bias, epsilon: float = 1e-6):
+    """Plain last-axis LN with explicit params (same math as LayerNorm)."""
+    orig = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + epsilon) * scale + bias).astype(orig)
+
+
 def _grouped_ln_apply(x, scale, bias, head_dim: int, epsilon: float = 1e-6):
     """Functional per-head LN (same math as _GroupedLayerNorm.__call__).
 
@@ -259,7 +268,7 @@ class MultiScaleAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, thw: Triple, deterministic: bool = True):
+    def __call__(self, x, thw: Triple, deterministic: bool = True, ln1=None):
         grid, extras = x
         B = grid.shape[0]
         E = extras.shape[1]
@@ -295,26 +304,48 @@ class MultiScaleAttention(nn.Module):
         else:
             wk, wb = _DenseParams(grid.shape[-1], dim_out * 3, name="qkv")()
 
+            def wslice(lo, hi):
+                w = jax.lax.slice_in_dim(wk, lo, hi, axis=1).astype(self.dtype)
+                b = jax.lax.slice_in_dim(wb, lo, hi, axis=0)
+                return w, (b if self.qkv_bias else jnp.zeros_like(b))
+
             def sliced(t, lo, hi):
                 # k and v are computed by ONE matmul over the contiguous
                 # [C, 2*dim_out] weight slice: k|v stay lane-fused through
                 # the pool and into the attention kernel, so no separate
                 # k/v tensors (or their pads/pools) ever hit HBM.
-                w = jax.lax.slice_in_dim(wk, lo, hi, axis=1).astype(self.dtype)
+                w, b = wslice(lo, hi)
                 y = on_flat(
                     lambda u: jnp.einsum("blc,cd->bld", u.astype(self.dtype), w),
                     t,
                 )
                 if self.qkv_bias:
-                    y = y + jax.lax.slice_in_dim(
-                        wb, lo, hi, axis=0
-                    ).astype(self.dtype)
+                    y = y + b.astype(self.dtype)
                 return y
 
-            qg = sliced(grid, 0, dim_out)
-            kvg = sliced(grid, dim_out, 3 * dim_out)
-            qe = sliced(extras, 0, dim_out)
-            kve = sliced(extras, dim_out, 3 * dim_out)
+            if ln1 is not None:
+                # norm1 fused into the q / k|v matmul prologues (the block
+                # passed the RAW streams): ONE kernel reads x once, computes
+                # the LN statistics once, and emits both projections —
+                # instead of materializing the normed tensor in HBM and
+                # re-reading it twice (see ops/pallas_ffn.fused_ln_qkv).
+                from svit_tpu.ops import pallas_ffn as pf
+
+                ls, lb = ln1
+                gflat = grid.reshape(B, -1, grid.shape[-1]).astype(self.dtype)
+                wq, bq = wslice(0, dim_out)
+                wkv, bkv = wslice(dim_out, 3 * dim_out)
+                qg, kvg = pf.fused_ln_qkv(gflat, ls, lb, wq, bq, wkv, bkv)
+                qg = qg.reshape(grid.shape[:4] + (dim_out,))
+                kvg = kvg.reshape(grid.shape[:4] + (2 * dim_out,))
+                extras = _ln_functional(extras, ls, lb)
+                qe = sliced(extras, 0, dim_out)
+                kve = sliced(extras, dim_out, 3 * dim_out)
+            else:
+                qg = sliced(grid, 0, dim_out)
+                kvg = sliced(grid, dim_out, 3 * dim_out)
+                qe = sliced(extras, 0, dim_out)
+                kve = sliced(extras, dim_out, 3 * dim_out)
 
         pool_q_on = _needs_pool(self.kernel_q, self.stride_q)
         pool_kv_on = _needs_pool(self.kernel_kv, self.stride_kv)
@@ -436,18 +467,30 @@ class MultiScaleAttention(nn.Module):
             qg, heads, q_shape, k_shape, n_k,
             rel_pos_h=rp_h, rel_pos_w=rp_w, rel_pos_t=rp_t,
         )
+        wp, bp = _DenseParams(dim_out, dim_out, name="proj")()
         if self.use_pallas:
             # Fused kernel: softmax((q*scale)@K^T + bias) @ V without the
             # HBM-resident [Nq, Nk] logits (see ops/pallas_attention.py).
             # The q scale is applied inside the kernel (VMEM) — scaling in
-            # XLA materializes a full scaled copy of q in HBM.
-            og = pa.fused_attention(
-                qf, kv_all, bias_src, scatter, scale, heads
+            # XLA materializes a full scaled copy of q in HBM — and the
+            # out-projection (+ the residual-pooling ``out += q``,
+            # reference attention.py:455-459) runs in the kernel epilogue,
+            # so neither the raw attention output nor the ``out+q`` sum is
+            # ever written to HBM.
+            og = pa.fused_attention_proj(
+                qf, kv_all, bias_src, scatter, wp.astype(self.dtype),
+                scale, heads, self.residual_pooling,
             )
         else:
             og = pa.reference_attention(
                 qf, kv_all, bias_src, scatter[:, :n_k], scale, heads
             )
+            if self.residual_pooling:
+                og = og + qf.astype(og.dtype)
+            og = jnp.einsum(
+                "blc,cd->bld", og.astype(self.dtype), wp.astype(self.dtype)
+            )
+        og = og + bp.astype(self.dtype)
 
         # Extras (cls + object) queries: zero rel-pos bias (reference only
         # biases the patch block) — a tiny plain attention over the same K/V
@@ -472,8 +515,8 @@ class MultiScaleAttention(nn.Module):
 
         if self.residual_pooling:
             # Reference attention.py:455-459: add pooled q to all but the cls
-            # row — every grid row, and the object rows of extras.
-            og = og + qf.astype(og.dtype)
+            # row — the grid rows are handled inside the attention epilogue
+            # (q_residual); only the object rows of extras remain.
             qe_res = qe.reshape(B, E, heads, head_dim).transpose(0, 2, 1, 3)
             if self.has_cls:
                 oe = jnp.concatenate(
@@ -482,12 +525,12 @@ class MultiScaleAttention(nn.Module):
             else:
                 oe = oe + qe_res
 
-        # og is already channel-flat [B, q_l, dim_out]; only the tiny extras
-        # output needs its head axis folded back.
+        # og is already channel-flat [B, q_l, dim_out] and projected; only
+        # the tiny extras output needs its head axis folded back + proj.
         oe = oe.transpose(0, 2, 1, 3).reshape(B, E, dim_out)
-
-        proj = nn.Dense(dim_out, dtype=self.dtype, name="proj")
-        og, oe = proj(og), proj(oe)
+        oe = jnp.einsum(
+            "bec,cd->bed", oe.astype(self.dtype), wp.astype(self.dtype)
+        ) + bp.astype(self.dtype)
         if self.drop_rate > 0.0:
             drop = nn.Dropout(self.drop_rate)
             og = drop(og, deterministic=deterministic)
@@ -525,8 +568,22 @@ class MultiScaleBlock(nn.Module):
         grid, extras = x
         att_dim = self.dim_out if self.dim_mul_in_att else self.dim
 
-        norm1 = LayerNorm(dtype=self.dtype, name="norm1")
-        gn, en = norm1(grid), norm1(extras)
+        # norm1 params owned here (tree-compatible with the LayerNorm module);
+        # when only the attention consumes the normed stream, the LN is fused
+        # into its q/kv matmul prologues instead of materializing gn in HBM.
+        ln1_s, ln1_b = _LNParams(self.dim, name="norm1")()
+        fuse_ln1 = (
+            self.use_pallas
+            and not self.separate_qkv
+            and not (self.dim_mul_in_att and self.dim != self.dim_out)
+        )
+        if fuse_ln1:
+            gn, en = grid, extras          # raw; attention applies LN
+            ln1 = (ln1_s, ln1_b)
+        else:
+            gn = _ln_functional(grid, ln1_s, ln1_b)
+            en = _ln_functional(extras, ln1_s, ln1_b)
+            ln1 = None
         (ag, ae), thw_new = MultiScaleAttention(
             dim=self.dim,
             dim_out=att_dim,
@@ -548,7 +605,7 @@ class MultiScaleBlock(nn.Module):
             use_pallas=self.use_pallas,
             dtype=self.dtype,
             name="attn",
-        )((gn, en), thw, deterministic=deterministic)
+        )((gn, en), thw, deterministic=deterministic, ln1=ln1)
 
         if self.dim_mul_in_att and self.dim != self.dim_out:
             proj = nn.Dense(self.dim_out, dtype=self.dtype, name="proj")
@@ -569,8 +626,6 @@ class MultiScaleBlock(nn.Module):
         use_dp = self.drop_path > 0.0 and not deterministic
         rng1 = self.make_rng("dropout") if use_dp else None
         ag, ae = _drop_path_pair(ag, ae, self.drop_path, rng1, deterministic)
-        grid = grid_res + ag
-        extras = extras + ae
 
         hidden = int(att_dim * self.mlp_ratio)
         # Fused LN+MLP kernel on the grid stream: usable whenever norm2's
@@ -582,6 +637,33 @@ class MultiScaleBlock(nn.Module):
             and self.drop_rate == 0.0
             and (self.dim_mul_in_att or self.dim == self.dim_out)
         )
+        if fuse_ffn and not use_dp:
+            # Whole residual tail in one kernel (see fused_ffn_residual):
+            # x = grid_res + attention; out = x + mlp(ln2(x)).  The
+            # post-attention stream never exists in HBM.  Requires inactive
+            # drop-path (nothing may scale the branches between the adds).
+            from svit_tpu.ops import pallas_ffn
+
+            ln_s, ln_b = _LNParams(att_dim, name="norm2")()
+            (w1, b1), (w2, b2) = _MlpParams(
+                att_dim, hidden, self.dim_out, name="mlp"
+            )()
+            w1c, w2c = w1.astype(self.dtype), w2.astype(self.dtype)
+            B0 = grid_res.shape[0]
+            L = int(np.prod(thw_new))
+            out_g = pallas_ffn.fused_ffn_residual(
+                grid_res.reshape(B0, L, att_dim),
+                ag.reshape(B0, L, att_dim),
+                ln_s, ln_b, w1c, b1, w2c, b2,
+            ).reshape(grid_res.shape[:4] + (self.dim_out,))
+            ex = extras + ae
+            out_e = ex + pallas_ffn.ffn_reference(
+                ex, ln_s, ln_b, w1c, b1, w2c, b2
+            )
+            return (out_g, out_e), thw_new
+
+        grid = grid_res + ag
+        extras = extras + ae
         if fuse_ffn:
             from svit_tpu.ops import pallas_ffn
 

@@ -74,7 +74,7 @@ def _best_divisor_tile(n: int, max_tile: int) -> int:
 
 def _pick_q_tile(q_tile: int, n_q: int, n_k_pad: int, live_f32_rows: int,
                  c: int = 0, heads: int = 1, io_rows: int = 2,
-                 kv_f32_acc: bool = False) -> int:
+                 kv_f32_acc: bool = False, proj: bool = False) -> int:
     """Pick the q-tile: prefer an even divisor of Nq; fit the VMEM budget.
 
     ``live_f32_rows`` = number of concurrently-live [tile, Nk_pad] f32
@@ -87,17 +87,27 @@ def _pick_q_tile(q_tile: int, n_q: int, n_k_pad: int, live_f32_rows: int,
     """
     fixed = 2 * n_k_pad * 2 * c * 2                # fused kv block, x2 buffers
     if kv_f32_acc:
-        fixed += n_k_pad * 2 * c * 4               # dkv f32 accumulator
+        # the dkv accumulator is also double-buffered (its block index
+        # varies along the batch grid axis)
+        fixed += 2 * n_k_pad * 2 * c * 4
+    if proj:
+        fixed += 2 * c * c * 2                     # resident [C, C] out-proj
     per_row = (
         4 * live_f32_rows * n_k_pad
         + io_rows * 2 * c * 2
         + 2 * heads * 128 * 2                      # bias block (R lane-padded)
+        + (8 * c if proj else 0)                   # f32 att + proj-out temps
     )
     budget_tile = max(_VMEM_BUDGET - fixed, 1 << 20) // per_row
-    max_tile = min(q_tile, max(256, budget_tile // 8 * 8))
+    # the 256-row floor trades modeled-budget overshoot for fewer grid
+    # steps; with a resident projection the fixed cost is higher, so
+    # respect the budget down to 128 rows instead
+    max_tile = min(q_tile, max(128 if proj else 256, budget_tile // 8 * 8))
     best = _best_divisor_tile(n_q, max_tile)
     if best >= 256 or (best > 0 and best >= n_q // 8):
         return best
+    if proj and best > 0 and max_tile < 256:
+        return best                  # honor the budget over step count
     return min(max_tile // 256 * 256 or 256, _round_up(n_q, 256))
 
 
@@ -120,8 +130,8 @@ def _scatter_matrix(
     return M
 
 
-def _attn_kernel(q_ref, kv_ref, bias_ref, m_ref, o_ref, *,
-                 heads: int = 1, scale=None):
+def _attn_kernel(q_ref, kv_ref, bias_ref, m_ref, *refs,
+                 heads: int = 1, scale=None, q_residual: bool = False):
     """One q-tile, ALL heads: q [1, Tq, C], kv [1, Nk, 2C] (keys in lanes
     [0, C), values in [C, 2C)), bias [1, heads, Tq, R], m [R, Nk];
     C = heads * head_dim.
@@ -136,7 +146,18 @@ def _attn_kernel(q_ref, kv_ref, bias_ref, m_ref, o_ref, *,
 
     ``scale`` (the 1/sqrt(hd) query scale) is applied to the q tile in VMEM
     in the input dtype — numerically identical to scaling q in XLA
-    beforehand, but without materializing a scaled copy of q in HBM."""
+    beforehand, but without materializing a scaled copy of q in HBM.
+
+    With a ``wp_ref`` present (``refs`` = (wp_ref, o_ref) instead of
+    (o_ref,)), the attention-output projection runs in the epilogue on the
+    VMEM tile — and with ``q_residual`` the reference's residual-pooling add
+    (attention.py:455-459, ``out += q``) happens first, straight from the
+    already-resident unscaled q tile.  Neither the attention output nor the
+    ``out+q`` sum ever exists in HBM (they were a full write + two reads of
+    the stream per block).  Rounding matches the unfused path bit-for-bit:
+    head outputs round to the IO dtype, the residual add runs in the IO
+    dtype, and the projection accumulates f32 like an XLA bf16 matmul."""
+    wp_ref, o_ref = refs if len(refs) == 2 else (None, refs[0])
     Tq, C = q_ref.shape[1], q_ref.shape[2]
     Nk = kv_ref.shape[1]
     hd = C // heads
@@ -164,7 +185,15 @@ def _attn_kernel(q_ref, kv_ref, bias_ref, m_ref, o_ref, *,
             p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
         outs.append((out / s).astype(o_ref.dtype))
-    o_ref[0] = outs[0] if heads == 1 else jnp.concatenate(outs, axis=-1)
+    att = outs[0] if heads == 1 else jnp.concatenate(outs, axis=-1)
+    if wp_ref is None:
+        o_ref[0] = att
+        return
+    if q_residual:
+        att = att + q_ref[0]
+    o_ref[0] = jnp.dot(
+        att, wp_ref[...], preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
 
 
 def pooled_attention(
@@ -176,6 +205,8 @@ def pooled_attention(
     heads: int = 1,
     scale: Optional[float] = None,
     q_tile: int = 1024,
+    wp: Optional[jax.Array] = None,   # [C, C] out-proj folded into epilogue
+    q_residual: bool = False,         # add unscaled q before the projection
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     if interpret is None:
@@ -187,7 +218,10 @@ def pooled_attention(
     # adapt the tile: large tiles amortize grid overhead (1024 measured 4x
     # faster than 512 at the stem shapes) but live [tile, Nk_pad] f32
     # buffers must stay inside scoped VMEM
-    q_tile = _pick_q_tile(q_tile, Nq, Nk_pad, live_f32_rows=2, c=C, heads=heads)
+    q_tile = _pick_q_tile(
+        q_tile, Nq, Nk_pad, live_f32_rows=2, c=C, heads=heads,
+        io_rows=2 if wp is None else 3, proj=wp is not None,
+    )
 
     Nq_pad = _round_up(Nq, q_tile)
     if Nq_pad != Nq:
@@ -199,19 +233,26 @@ def pooled_attention(
         kv = jnp.pad(kv, ((0, 0), (0, Nk_pad - Nk), (0, 0)))
 
     grid = (B, Nq_pad // q_tile)
+    in_specs = [
+        pl.BlockSpec((1, q_tile, C), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((1, Nk_pad, 2 * C), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, heads, q_tile, R), lambda b, i: (b, 0, i, 0)),
+        pl.BlockSpec((R, Nk_pad), lambda b, i: (0, 0)),
+    ]
+    operands = [q, kv, bias_src, scatter]
+    if wp is not None:
+        in_specs.append(pl.BlockSpec((C, C), lambda b, i: (0, 0)))
+        operands.append(wp.astype(q.dtype))
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, heads=heads, scale=scale),
+        functools.partial(
+            _attn_kernel, heads=heads, scale=scale, q_residual=q_residual
+        ),
         out_shape=jax.ShapeDtypeStruct((B, Nq_pad, C), q.dtype),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, q_tile, C), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, Nk_pad, 2 * C), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, heads, q_tile, R), lambda b, i: (b, 0, i, 0)),
-            pl.BlockSpec((R, Nk_pad), lambda b, i: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, q_tile, C), lambda b, i: (b, i, 0)),
         interpret=interpret,
-    )(q, kv, bias_src, scatter)
+    )(*operands)
     if _fault_injected():
         # emulate a lane-offset miscompile (shifted channel reads) — an
         # additive constant would be erased by the downstream LayerNorms
@@ -317,11 +358,13 @@ def pooled_attention_bwd(
     R = bias_src.shape[3]
 
     # The [Nk_pad, 2C] kv block and its f32 dkv accumulator are resident for
-    # the whole pass; at the fat-C tail blocks (C=768, Nk~1.7k) they alone
-    # overflow scoped VMEM.  Split the head axis recursively at the XLA
-    # level — the operands there are pooled/tiny, so the lane slices cost
-    # microseconds, and each half runs the normal kernel.
-    resident = Nk_pad * 2 * C * (2 + 4)
+    # the whole pass AND double-buffered (their block index varies along the
+    # batch grid axis): 2*(2C*Nk*2B) + 2*(2C*Nk*4B) = 12 bytes per kv
+    # element.  At C>=384 with Nk~1.7k that alone overflows scoped VMEM.
+    # Split the head axis recursively at the XLA level — the operands there
+    # are pooled/tiny, so the lane slices cost microseconds, and each half
+    # runs the normal kernel.
+    resident = Nk_pad * 2 * C * 12
     if resident > BWD_SPLIT_BYTES and heads % 2 == 0:
         h2, c2 = heads // 2, C // 2
 
@@ -486,6 +529,74 @@ def _bwd(scale, heads, res, g):
 
 
 fused_attention.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def fused_attention_proj(q, kv, bias_src, scatter, wp,
+                         scale=None, heads=1, q_residual=False):
+    """Attention with the out-projection (and optionally the reference's
+    residual-pooling ``out += q``, attention.py:455-459) folded into the
+    kernel epilogue.
+
+    The un-differentiated primal (eval/serving/bench forwards) never
+    materializes the attention output or the ``out+q`` sum in HBM — at the
+    stem that is three full passes over the [B, Nq, C] stream per block.
+    Under AD the fwd/bwd pair below runs the unfolded kernel + an XLA
+    projection instead: the projection VJP needs its input as a residual
+    anyway, so folding would only move that HBM write into the backward.
+    Both paths round identically (head outputs -> IO dtype, IO-dtype add,
+    f32-accumulated projection)."""
+    return pooled_attention(
+        q, kv, bias_src, scatter, scale=scale, heads=heads,
+        wp=wp, q_residual=q_residual,
+    )
+
+
+def _proj_base(q, kv, bias_src, scatter, scale, heads, q_residual):
+    att = pooled_attention(
+        q, kv, bias_src, scatter, scale=scale, heads=heads
+    )
+    return att + q if q_residual else att
+
+
+def _fwd_proj(q, kv, bias_src, scatter, wp, scale, heads, q_residual):
+    base = _proj_base(q, kv, bias_src, scatter, scale, heads, q_residual)
+    out = jax.lax.dot_general(
+        base, wp.astype(base.dtype),
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(base.dtype)
+    return out, (q, kv, bias_src, scatter, wp, base)
+
+
+def _bwd_proj(scale, heads, q_residual, res, g):
+    q, kv, bias_src, scatter, wp, base = res
+    dwp = jnp.einsum(
+        "bnc,bnd->cd", base, g, preferred_element_type=jnp.float32
+    ).astype(wp.dtype)
+    dbase = jax.lax.dot_general(
+        g, wp.astype(g.dtype),
+        dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(g.dtype)
+    if BWD_PALLAS:
+        dq, dkv, dbias = pooled_attention_bwd(
+            q, kv, bias_src, scatter, dbase, scale=scale, heads=heads
+        )
+    else:
+        _, vjp = jax.vjp(
+            lambda qq, kk, bb: _reference_attention(
+                qq, kk, bb, scatter[:, : kv.shape[1]], scale, heads
+            ),
+            q, kv, bias_src,
+        )
+        dq, dkv, dbias = vjp(dbase)
+    if q_residual:
+        dq = dq + dbase.astype(dq.dtype)
+    return dq, dkv, dbias, None, dwp
+
+
+fused_attention_proj.defvjp(_fwd_proj, _bwd_proj)
 
 
 # ---------------------------------------------------------------------------

@@ -29,9 +29,10 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _pick_n_tile(n: int, c: int, h: int, bytes_weights: int) -> int:
+def _pick_n_tile(n: int, c: int, h: int, bytes_weights: int,
+                 extra_row_bytes: int = 0) -> int:
     # live f32 rows: x tile (c), normalized (c), hidden (h), plus the out tile
-    per_row = 4 * (3 * c + h)
+    per_row = 4 * (3 * c + h) + extra_row_bytes
     budget = _VMEM_BUDGET - bytes_weights
     max_tile = min(1024, max(256, budget // per_row // 8 * 8))
     # prefer a tile that divides the token count evenly (no padding rows)
@@ -191,6 +192,92 @@ def _ln_dense_reference(x, ln_scale, ln_bias, w, b):
     return y.astype(x.dtype)
 
 
+def _ln_qkv_kernel(x_ref, ls_ref, lb_ref, wq_ref, bq_ref, wkv_ref, bkv_ref,
+                   q_ref, kv_ref):
+    x = x_ref[0].astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    xn = (x - mean) * jax.lax.rsqrt(var + _EPS)
+    xn = (xn * ls_ref[0] + lb_ref[0]).astype(wq_ref.dtype)
+    q_ref[0] = (jnp.dot(
+        xn, wq_ref[...], preferred_element_type=jnp.float32
+    ) + bq_ref[0]).astype(q_ref.dtype)
+    kv_ref[0] = (jnp.dot(
+        xn, wkv_ref[...], preferred_element_type=jnp.float32
+    ) + bkv_ref[0]).astype(kv_ref.dtype)
+
+
+def _ln_qkv_forward(x, ln_scale, ln_bias, wq, bq, wkv, bkv,
+                    interpret: Optional[bool] = None):
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, N, C = x.shape
+    O = wq.shape[1]
+    n_tile = _pick_n_tile(
+        N, C, 3 * O, (wq.size + wkv.size) * wq.dtype.itemsize
+    )
+    N_pad = _round_up(N, n_tile)
+    if N_pad != N:
+        x = jnp.pad(x, ((0, 0), (0, N_pad - N), (0, 0)))
+    q, kv = pl.pallas_call(
+        _ln_qkv_kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N_pad, O), x.dtype),
+            jax.ShapeDtypeStruct((B, N_pad, 2 * O), x.dtype),
+        ],
+        grid=(B, N_pad // n_tile),
+        in_specs=[
+            pl.BlockSpec((1, n_tile, C), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, C), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, i: (0, 0)),
+            pl.BlockSpec((C, O), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, O), lambda b, i: (0, 0)),
+            pl.BlockSpec((C, 2 * O), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, 2 * O), lambda b, i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n_tile, O), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, n_tile, 2 * O), lambda b, i: (b, i, 0)),
+        ],
+        interpret=interpret,
+    )(x, ln_scale.reshape(1, C), ln_bias.reshape(1, C),
+      wq, bq.reshape(1, O), wkv, bkv.reshape(1, 2 * O))
+    return q[:, :N], kv[:, :N]
+
+
+def _ln_qkv_reference(x, ln_scale, ln_bias, wq, bq, wkv, bkv):
+    q = _ln_dense_reference(x, ln_scale, ln_bias, wq, bq)
+    kv = _ln_dense_reference(x, ln_scale, ln_bias, wkv, bkv)
+    return q, kv
+
+
+ln_qkv_reference = _ln_qkv_reference
+
+
+@jax.custom_vjp
+def fused_ln_qkv(x, ln_scale, ln_bias, wq, bq, wkv, bkv):
+    """norm1 + the q and k|v projections in ONE kernel: the raw stream is
+    read once (instead of twice) and the LN statistics are computed once.
+    The k|v projection keeps its lane-fused [C, 2C] weight slice, so k and v
+    stay one tensor through the pool and into the attention kernel."""
+    return _ln_qkv_forward(x, ln_scale, ln_bias, wq, bq, wkv, bkv)
+
+
+def _lnqkv_fwd(x, ln_scale, ln_bias, wq, bq, wkv, bkv):
+    return (
+        _ln_qkv_forward(x, ln_scale, ln_bias, wq, bq, wkv, bkv),
+        (x, ln_scale, ln_bias, wq, bq, wkv, bkv),
+    )
+
+
+def _lnqkv_bwd(res, g):
+    _, vjp = jax.vjp(_ln_qkv_reference, *res)
+    return vjp(g)
+
+
+fused_ln_qkv.defvjp(_lnqkv_fwd, _lnqkv_bwd)
+
+
 @jax.custom_vjp
 def fused_ln_dense(x, ln_scale, ln_bias, w, b):
     return _ln_dense_forward(x, ln_scale, ln_bias, w, b)
@@ -206,6 +293,104 @@ def _lnd_bwd(res, g):
 
 
 fused_ln_dense.defvjp(_lnd_fwd, _lnd_bwd)
+
+
+def _ffn_res_kernel(xr_ref, a_ref, ls_ref, lb_ref, w1_ref, b1_ref,
+                    w2_ref, b2_ref, o_ref):
+    # the block's residual stream, computed entirely in VMEM:
+    #   x = x_res + a;  out = x + mlp(ln(x))
+    # adds run in the IO dtype — bit-identical to the unfused XLA adds.
+    xs = xr_ref[0] + a_ref[0]
+    x = xs.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    xn = (x - mean) * jax.lax.rsqrt(var + _EPS)
+    xn = xn * ls_ref[0] + lb_ref[0]
+    h = jnp.dot(
+        xn.astype(w1_ref.dtype), w1_ref[...],
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[0]
+    h = 0.5 * h * (1.0 + _erf(h * np.float32(1.0 / np.sqrt(2.0))))
+    y = jnp.dot(
+        h.astype(w2_ref.dtype), w2_ref[...],
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[0]
+    o_ref[0] = xs + y.astype(o_ref.dtype)
+
+
+def _ffn_res_forward(x_res, a, ln_scale, ln_bias, w1, b1, w2, b2,
+                     interpret: Optional[bool] = None):
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, N, C = x_res.shape
+    H = w1.shape[1]
+    n_tile = _pick_n_tile(
+        N, C, H, (w1.size + w2.size) * w1.dtype.itemsize,
+        extra_row_bytes=2 * C * x_res.dtype.itemsize + 4 * C,
+    )
+    N_pad = _round_up(N, n_tile)
+    if N_pad != N:
+        x_res = jnp.pad(x_res, ((0, 0), (0, N_pad - N), (0, 0)))
+        a = jnp.pad(a, ((0, 0), (0, N_pad - N), (0, 0)))
+    out = pl.pallas_call(
+        _ffn_res_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, N_pad, w2.shape[1]), x_res.dtype),
+        grid=(B, N_pad // n_tile),
+        in_specs=[
+            pl.BlockSpec((1, n_tile, C), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, n_tile, C), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, C), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, i: (0, 0)),
+            pl.BlockSpec((C, H), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, H), lambda b, i: (0, 0)),
+            pl.BlockSpec((H, w2.shape[1]), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, w2.shape[1]), lambda b, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n_tile, w2.shape[1]), lambda b, i: (b, i, 0)
+        ),
+        interpret=interpret,
+    )(x_res, a, ln_scale.reshape(1, C), ln_bias.reshape(1, C),
+      w1, b1.reshape(1, H), w2, b2.reshape(1, w2.shape[1]))
+    return out[:, :N]
+
+
+def _ffn_res_reference(x_res, a, ln_scale, ln_bias, w1, b1, w2, b2):
+    x = x_res + a
+    return x + _ffn_reference(x, ln_scale, ln_bias, w1, b1, w2, b2)
+
+
+ffn_residual_reference = _ffn_res_reference
+
+
+@jax.custom_vjp
+def fused_ffn_residual(x_res, a, ln_scale, ln_bias, w1, b1, w2, b2):
+    """The transformer block's whole residual tail in one kernel:
+    ``x = x_res + a; out = x + mlp(ln2(x))``.
+
+    Unfused, the two residual adds and the MLP move the stream through HBM
+    five extra times per block (write+read of ``x``, write+read of the MLP
+    output, plus the adds' second operands); fused, the stream goes straight
+    from the attention kernel's output into this kernel.  Only usable when
+    no dropout/drop-path separates the adds from the MLP (eval, or training
+    recipes with both rates 0 — the caller gates this).
+    """
+    return _ffn_res_forward(x_res, a, ln_scale, ln_bias, w1, b1, w2, b2)
+
+
+def _res_fwd(x_res, a, ln_scale, ln_bias, w1, b1, w2, b2):
+    return (
+        _ffn_res_forward(x_res, a, ln_scale, ln_bias, w1, b1, w2, b2),
+        (x_res, a, ln_scale, ln_bias, w1, b1, w2, b2),
+    )
+
+
+def _res_bwd(res, g):
+    _, vjp = jax.vjp(_ffn_res_reference, *res)
+    return vjp(g)
+
+
+fused_ffn_residual.defvjp(_res_fwd, _res_bwd)
 
 
 @jax.custom_vjp

@@ -1,0 +1,175 @@
+"""Epilogue-fusion ops: out-proj folded into the attention kernel and the
+residual tail folded into the FFN kernel.
+
+Reference behavior being matched:
+- out-projection after attention: reference ``slowfast/models/attention.py``
+  (``self.proj(x)`` after the pooled attention, with the residual-pooling
+  ``x += q`` immediately before it, attention.py:455-459).
+- the block residual tail: ``x = x + drop_path(attn); x = x + drop_path(mlp)``
+  (reference attention.py block forward).  With drop-path inactive the fused
+  kernel computes the identical chain.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from svit_tpu.ops import pallas_attention as pa
+from svit_tpu.ops import pallas_ffn as pf
+
+
+def _attn_inputs(B=2, Nq=40, Nk=24, C=32, heads=4, k_shape=(3, 4, 2)):
+    rng = np.random.RandomState(7)
+    R = sum(k_shape) + 1
+    q = jnp.asarray(rng.randn(B, Nq, C), jnp.float32)
+    kv = jnp.asarray(rng.randn(B, Nk, 2 * C), jnp.float32)
+    bias = jnp.asarray(rng.randn(B, heads, Nq, R) * 0.1, jnp.float32)
+    bias = bias.at[..., -1].set(1.0)
+    n_k_pad = 128
+    scatter = jnp.asarray(
+        pa._scatter_matrix(k_shape, Nk, n_k_pad, 0), jnp.float32
+    )
+    wp = jnp.asarray(rng.randn(C, C) * 0.05, jnp.float32)
+    return q, kv, bias, scatter, wp
+
+
+@pytest.mark.parametrize("q_residual", [False, True])
+def test_fused_attention_proj_matches_reference(q_residual):
+    q, kv, bias, scatter, wp = _attn_inputs()
+    scale = 0.25
+    heads = 4
+    Nk = kv.shape[1]
+
+    def ref(q, kv, bias, wp):
+        att = pa._reference_attention(q, kv, bias, scatter[:, :Nk], scale, heads)
+        if q_residual:
+            att = att + q
+        return att @ wp
+
+    out = pa.fused_attention_proj(
+        q, kv, bias, scatter, wp, scale, heads, q_residual
+    )
+    r = ref(q, kv, bias, wp)
+    assert float(jnp.abs(out - r).max() / jnp.abs(r).max()) < 1e-5
+
+
+@pytest.mark.parametrize("q_residual", [False, True])
+def test_fused_attention_proj_gradients(q_residual):
+    q, kv, bias, scatter, wp = _attn_inputs()
+    scale = 0.25
+    heads = 4
+    Nk = kv.shape[1]
+
+    def loss_fused(q, kv, bias, wp):
+        o = pa.fused_attention_proj(
+            q, kv, bias, scatter, wp, scale, heads, q_residual
+        )
+        return (o ** 2).sum()
+
+    def loss_ref(q, kv, bias, wp):
+        att = pa._reference_attention(q, kv, bias, scatter[:, :Nk], scale, heads)
+        if q_residual:
+            att = att + q
+        return ((att @ wp) ** 2).sum()
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, kv, bias, wp)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, kv, bias, wp)
+    for a, b, name in zip(gf, gr, ("q", "kv", "bias", "wp")):
+        rel = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-9))
+        assert rel < 1e-5, f"grad {name} rel err {rel}"
+
+
+def test_ffn_residual_matches_reference():
+    rng = np.random.RandomState(3)
+    B, N, C, H = 2, 48, 32, 64
+    xr = jnp.asarray(rng.randn(B, N, C), jnp.float32)
+    a = jnp.asarray(rng.randn(B, N, C), jnp.float32)
+    ls = jnp.asarray(1 + 0.1 * rng.randn(C), jnp.float32)
+    lb = jnp.asarray(0.1 * rng.randn(C), jnp.float32)
+    w1 = jnp.asarray(0.1 * rng.randn(C, H), jnp.float32)
+    b1 = jnp.asarray(0.1 * rng.randn(H), jnp.float32)
+    w2 = jnp.asarray(0.1 * rng.randn(H, C), jnp.float32)
+    b2 = jnp.asarray(0.1 * rng.randn(C), jnp.float32)
+    args = (xr, a, ls, lb, w1, b1, w2, b2)
+
+    o1 = pf.fused_ffn_residual(*args)
+    o2 = pf.ffn_residual_reference(*args)
+    assert float(jnp.abs(o1 - o2).max() / jnp.abs(o2).max()) < 1e-5
+
+    gf = jax.grad(lambda *t: (pf.fused_ffn_residual(*t) ** 2).sum(),
+                  argnums=tuple(range(8)))(*args)
+    gr = jax.grad(lambda *t: (pf.ffn_residual_reference(*t) ** 2).sum(),
+                  argnums=tuple(range(8)))(*args)
+    for i, (x1, x2) in enumerate(zip(gf, gr)):
+        rel = float(jnp.abs(x1 - x2).max() / (jnp.abs(x2).max() + 1e-9))
+        assert rel < 1e-5, f"ffn grad {i} rel err {rel}"
+
+
+def test_ffn_residual_equals_unfused_chain():
+    """The fold must be bit-compatible with the ops it replaces:
+    x = xr + a; out = x + fused_ffn(x)."""
+    rng = np.random.RandomState(5)
+    B, N, C, H = 1, 24, 16, 32
+    xr = jnp.asarray(rng.randn(B, N, C), jnp.float32)
+    a = jnp.asarray(rng.randn(B, N, C), jnp.float32)
+    ls = jnp.ones((C,), jnp.float32)
+    lb = jnp.zeros((C,), jnp.float32)
+    w1 = jnp.asarray(0.1 * rng.randn(C, H), jnp.float32)
+    b1 = jnp.zeros((H,), jnp.float32)
+    w2 = jnp.asarray(0.1 * rng.randn(H, C), jnp.float32)
+    b2 = jnp.zeros((C,), jnp.float32)
+    x = xr + a
+    unfused = x + pf.fused_ffn(x, ls, lb, w1, b1, w2, b2)
+    fused = pf.fused_ffn_residual(xr, a, ls, lb, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(unfused),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_fused_ln_qkv_matches_reference():
+    rng = np.random.RandomState(11)
+    B, N, C, O = 2, 40, 32, 24
+    x = jnp.asarray(rng.randn(B, N, C), jnp.float32)
+    ls = jnp.asarray(1 + 0.1 * rng.randn(C), jnp.float32)
+    lb = jnp.asarray(0.1 * rng.randn(C), jnp.float32)
+    wq = jnp.asarray(0.1 * rng.randn(C, O), jnp.float32)
+    bq = jnp.asarray(0.1 * rng.randn(O), jnp.float32)
+    wkv = jnp.asarray(0.1 * rng.randn(C, 2 * O), jnp.float32)
+    bkv = jnp.asarray(0.1 * rng.randn(2 * O), jnp.float32)
+    args = (x, ls, lb, wq, bq, wkv, bkv)
+
+    q1, kv1 = pf.fused_ln_qkv(*args)
+    q2, kv2 = pf.ln_qkv_reference(*args)
+    assert float(jnp.abs(q1 - q2).max() / jnp.abs(q2).max()) < 1e-5
+    assert float(jnp.abs(kv1 - kv2).max() / jnp.abs(kv2).max()) < 1e-5
+
+    def lf(*t):
+        q, kv = pf.fused_ln_qkv(*t)
+        return (q ** 2).sum() + (kv ** 3).sum()
+
+    def lr(*t):
+        q, kv = pf.ln_qkv_reference(*t)
+        return (q ** 2).sum() + (kv ** 3).sum()
+
+    gf = jax.grad(lf, argnums=tuple(range(7)))(*args)
+    gr = jax.grad(lr, argnums=tuple(range(7)))(*args)
+    for i, (a, b) in enumerate(zip(gf, gr)):
+        rel = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-9))
+        assert rel < 1e-5, f"ln_qkv grad {i} rel err {rel}"
+
+
+def test_pick_q_tile_proj_budget():
+    """The resident [C, C] projection must shrink the q tile when tight."""
+    base = pa._pick_q_tile(1024, 25088, 1664, live_f32_rows=2, c=96, heads=1)
+    with_proj = pa._pick_q_tile(1024, 25088, 1664, live_f32_rows=2, c=96,
+                                heads=1, io_rows=3, proj=True)
+    assert with_proj <= base
+    # the modeled VMEM use stays under budget for the production shapes
+    # (down to the 128-row floor)
+    for (nq, nk, c, h) in [(25088, 1664, 96, 1), (6272, 1664, 192, 2),
+                           (1568, 1664, 384, 4), (392, 512, 768, 8)]:
+        t = pa._pick_q_tile(1024, nq, nk, live_f32_rows=2, c=c, heads=h,
+                            io_rows=3, proj=True)
+        fixed = 2 * nk * 2 * c * 2 + 2 * c * c * 2
+        per_row = 4 * 2 * nk + 3 * 2 * c * 2 + 2 * h * 128 * 2 + 8 * c
+        assert t <= 128 or fixed + t * per_row <= pa._VMEM_BUDGET * 1.01

@@ -84,10 +84,19 @@ def main():
         and "TPU" in str(e.get("args", {}).get("name", ""))
     }
 
-    # group complete events per (pid, tid) lane
+    # group complete events per (pid, tid) lane; skip annotation lanes
+    # ("Steps" spans cover whole iterations incl. idle and would double
+    # count every real op beneath them)
+    tmeta = {
+        (e.get("pid"), e.get("tid")): str(e.get("args", {}).get("name", ""))
+        for e in evs
+        if e.get("ph") == "M" and e.get("name") == "thread_name"
+    }
     lanes = defaultdict(list)
     for e in evs:
         if e.get("ph") == "X" and e.get("pid") in dev_pids:
+            if tmeta.get((e["pid"], e.get("tid"))) == "Steps":
+                continue
             lanes[(e["pid"], e.get("tid"))].append(e)
 
     # self time: sort by (start, -dur); subtract direct children via a stack
