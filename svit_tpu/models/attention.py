@@ -625,7 +625,6 @@ class MultiScaleBlock(nn.Module):
 
         use_dp = self.drop_path > 0.0 and not deterministic
         rng1 = self.make_rng("dropout") if use_dp else None
-        ag, ae = _drop_path_pair(ag, ae, self.drop_path, rng1, deterministic)
 
         hidden = int(att_dim * self.mlp_ratio)
         # Fused LN+MLP kernel on the grid stream: usable whenever norm2's
@@ -637,70 +636,72 @@ class MultiScaleBlock(nn.Module):
             and self.drop_rate == 0.0
             and (self.dim_mul_in_att or self.dim == self.dim_out)
         )
-        if fuse_ffn and not use_dp:
+        if fuse_ffn:
             # Whole residual tail in one kernel (see fused_ffn_residual):
             # x = grid_res + attention; out = x + mlp(ln2(x)).  The
-            # post-attention stream never exists in HBM.  Requires inactive
-            # drop-path (nothing may scale the branches between the adds).
+            # post-attention stream never exists in HBM.  Under active
+            # drop-path the two per-sample mask scalings run inside the
+            # kernel too (fused_ffn_residual_masked) with the exact op
+            # order of _drop_path_pair; the rng draws stay in XLA and in
+            # the same order as the unfused path.
             from svit_tpu.ops import pallas_ffn
 
+            keep = 1.0 - self.drop_path
+            B0 = grid_res.shape[0]
+            if use_dp:
+                rng2 = self.make_rng("dropout")
+                mask1 = jax.random.bernoulli(rng1, keep, (B0,))
+                mask2 = jax.random.bernoulli(rng2, keep, (B0,))
+                ae = ae / keep * mask1.reshape(-1, 1, 1).astype(ae.dtype)
             ln_s, ln_b = _LNParams(att_dim, name="norm2")()
             (w1, b1), (w2, b2) = _MlpParams(
                 att_dim, hidden, self.dim_out, name="mlp"
             )()
             w1c, w2c = w1.astype(self.dtype), w2.astype(self.dtype)
-            B0 = grid_res.shape[0]
             L = int(np.prod(thw_new))
-            out_g = pallas_ffn.fused_ffn_residual(
-                grid_res.reshape(B0, L, att_dim),
-                ag.reshape(B0, L, att_dim),
-                ln_s, ln_b, w1c, b1, w2c, b2,
-            ).reshape(grid_res.shape[:4] + (self.dim_out,))
+            gr = grid_res.reshape(B0, L, att_dim)
+            agf = ag.reshape(B0, L, att_dim)
+            if use_dp:
+                out_g = pallas_ffn.fused_ffn_residual_masked(
+                    keep, gr, agf, ln_s, ln_b, w1c, b1, w2c, b2,
+                    mask1, mask2,
+                )
+            else:
+                out_g = pallas_ffn.fused_ffn_residual(
+                    gr, agf, ln_s, ln_b, w1c, b1, w2c, b2,
+                )
+            out_g = out_g.reshape(grid_res.shape[:4] + (self.dim_out,))
             ex = extras + ae
-            out_e = ex + pallas_ffn.ffn_reference(
-                ex, ln_s, ln_b, w1c, b1, w2c, b2
-            )
+            ye = pallas_ffn.ffn_reference(ex, ln_s, ln_b, w1c, b1, w2c, b2)
+            if use_dp:
+                ye = ye / keep * mask2.reshape(-1, 1, 1).astype(ye.dtype)
+            out_e = ex + ye
             return (out_g, out_e), thw_new
 
+        ag, ae = _drop_path_pair(ag, ae, self.drop_path, rng1, deterministic)
         grid = grid_res + ag
         extras = extras + ae
-        if fuse_ffn:
-            from svit_tpu.ops import pallas_ffn
-
-            ln_s, ln_b = _LNParams(att_dim, name="norm2")()
-            (w1, b1), (w2, b2) = _MlpParams(
-                att_dim, hidden, self.dim_out, name="mlp"
-            )()
-            cast = self.dtype
-            w1c, w2c = w1.astype(cast), w2.astype(cast)
-            L = int(np.prod(thw_new))
-            mg = pallas_ffn.fused_ffn(
-                grid.reshape(grid.shape[0], L, att_dim),
-                ln_s, ln_b, w1c, b1, w2c, b2,
-            ).reshape(grid.shape[:4] + (self.dim_out,))
-            me = pallas_ffn.ffn_reference(extras, ln_s, ln_b, w1c, b1, w2c, b2)
-        else:
-            norm2 = LayerNorm(dtype=self.dtype, name="norm2")
-            g2, e2 = norm2(grid), norm2(extras)
-            mlp = Mlp(
-                hidden_features=hidden,
-                out_features=self.dim_out,
-                drop_rate=self.drop_rate,
-                dtype=self.dtype,
-                name="mlp",
-            )
-            # rank-3 around the matmuls: a rank-5 Dense lowers to a 1x1x1
-            # convolution whose layout assignment derails downstream convs
-            gshape2 = g2.shape
-            g2f = g2.reshape(gshape2[0], -1, gshape2[-1])
-            mg = mlp(g2f, deterministic=deterministic).reshape(
-                gshape2[:4] + (self.dim_out,)
-            )
-            me = mlp(e2, deterministic=deterministic)
-            if not self.dim_mul_in_att and self.dim != self.dim_out:
-                proj = nn.Dense(self.dim_out, dtype=self.dtype, name="proj")
-                grid = proj(g2f).reshape(gshape2[:4] + (self.dim_out,))
-                extras = proj(e2)
+        norm2 = LayerNorm(dtype=self.dtype, name="norm2")
+        g2, e2 = norm2(grid), norm2(extras)
+        mlp = Mlp(
+            hidden_features=hidden,
+            out_features=self.dim_out,
+            drop_rate=self.drop_rate,
+            dtype=self.dtype,
+            name="mlp",
+        )
+        # rank-3 around the matmuls: a rank-5 Dense lowers to a 1x1x1
+        # convolution whose layout assignment derails downstream convs
+        gshape2 = g2.shape
+        g2f = g2.reshape(gshape2[0], -1, gshape2[-1])
+        mg = mlp(g2f, deterministic=deterministic).reshape(
+            gshape2[:4] + (self.dim_out,)
+        )
+        me = mlp(e2, deterministic=deterministic)
+        if not self.dim_mul_in_att and self.dim != self.dim_out:
+            proj = nn.Dense(self.dim_out, dtype=self.dtype, name="proj")
+            grid = proj(g2f).reshape(gshape2[:4] + (self.dim_out,))
+            extras = proj(e2)
 
         rng2 = self.make_rng("dropout") if use_dp else None
         mg, me = _drop_path_pair(mg, me, self.drop_path, rng2, deterministic)

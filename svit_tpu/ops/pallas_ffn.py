@@ -14,6 +14,7 @@ reference (standard recompute; no intermediates are stored).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -296,11 +297,22 @@ fused_ln_dense.defvjp(_lnd_fwd, _lnd_bwd)
 
 
 def _ffn_res_kernel(xr_ref, a_ref, ls_ref, lb_ref, w1_ref, b1_ref,
-                    w2_ref, b2_ref, o_ref):
+                    w2_ref, b2_ref, *refs, keep: float = 1.0):
     # the block's residual stream, computed entirely in VMEM:
     #   x = x_res + a;  out = x + mlp(ln(x))
     # adds run in the IO dtype — bit-identical to the unfused XLA adds.
-    xs = xr_ref[0] + a_ref[0]
+    # With mask refs present (refs = (ma_ref, my_ref, o_ref)) the two
+    # per-sample drop-path scalings run in VMEM too, in the exact op order
+    # of the unfused path (``branch / keep * mask`` in the IO dtype), so
+    # training numerics match _drop_path_pair bit-for-bit.
+    if len(refs) == 3:
+        ma_ref, my_ref, o_ref = refs
+        # python-float keep stays weakly typed: ops run in the IO dtype
+        xs = xr_ref[0] + a_ref[0] / keep * ma_ref[...]
+    else:
+        (o_ref,) = refs
+        ma_ref = my_ref = None
+        xs = xr_ref[0] + a_ref[0]
     x = xs.astype(jnp.float32)
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
@@ -315,10 +327,14 @@ def _ffn_res_kernel(xr_ref, a_ref, ls_ref, lb_ref, w1_ref, b1_ref,
         h.astype(w2_ref.dtype), w2_ref[...],
         preferred_element_type=jnp.float32,
     ) + b2_ref[0]
-    o_ref[0] = xs + y.astype(o_ref.dtype)
+    if my_ref is not None:
+        o_ref[0] = xs + y.astype(o_ref.dtype) / keep * my_ref[...]
+    else:
+        o_ref[0] = xs + y.astype(o_ref.dtype)
 
 
 def _ffn_res_forward(x_res, a, ln_scale, ln_bias, w1, b1, w2, b2,
+                     ma=None, my=None, keep: float = 1.0,
                      interpret: Optional[bool] = None):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -332,26 +348,36 @@ def _ffn_res_forward(x_res, a, ln_scale, ln_bias, w1, b1, w2, b2,
     if N_pad != N:
         x_res = jnp.pad(x_res, ((0, 0), (0, N_pad - N), (0, 0)))
         a = jnp.pad(a, ((0, 0), (0, N_pad - N), (0, 0)))
+    in_specs = [
+        pl.BlockSpec((1, n_tile, C), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((1, n_tile, C), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((1, C), lambda b, i: (0, 0)),
+        pl.BlockSpec((1, C), lambda b, i: (0, 0)),
+        pl.BlockSpec((C, H), lambda b, i: (0, 0)),
+        pl.BlockSpec((1, H), lambda b, i: (0, 0)),
+        pl.BlockSpec((H, w2.shape[1]), lambda b, i: (0, 0)),
+        pl.BlockSpec((1, w2.shape[1]), lambda b, i: (0, 0)),
+    ]
+    operands = [
+        x_res, a, ln_scale.reshape(1, C), ln_bias.reshape(1, C),
+        w1, b1.reshape(1, H), w2, b2.reshape(1, w2.shape[1]),
+    ]
+    if ma is not None:
+        # per-sample drop-path masks (0/1), one scalar per batch row
+        in_specs.append(pl.BlockSpec((1, 1), lambda b, i: (b, 0)))
+        in_specs.append(pl.BlockSpec((1, 1), lambda b, i: (b, 0)))
+        operands.append(ma.reshape(B, 1).astype(x_res.dtype))
+        operands.append(my.reshape(B, 1).astype(x_res.dtype))
     out = pl.pallas_call(
-        _ffn_res_kernel,
+        functools.partial(_ffn_res_kernel, keep=keep),
         out_shape=jax.ShapeDtypeStruct((B, N_pad, w2.shape[1]), x_res.dtype),
         grid=(B, N_pad // n_tile),
-        in_specs=[
-            pl.BlockSpec((1, n_tile, C), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, n_tile, C), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, C), lambda b, i: (0, 0)),
-            pl.BlockSpec((1, C), lambda b, i: (0, 0)),
-            pl.BlockSpec((C, H), lambda b, i: (0, 0)),
-            pl.BlockSpec((1, H), lambda b, i: (0, 0)),
-            pl.BlockSpec((H, w2.shape[1]), lambda b, i: (0, 0)),
-            pl.BlockSpec((1, w2.shape[1]), lambda b, i: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, n_tile, w2.shape[1]), lambda b, i: (b, i, 0)
         ),
         interpret=interpret,
-    )(x_res, a, ln_scale.reshape(1, C), ln_bias.reshape(1, C),
-      w1, b1.reshape(1, H), w2, b2.reshape(1, w2.shape[1]))
+    )(*operands)
     return out[:, :N]
 
 
@@ -391,6 +417,53 @@ def _res_bwd(res, g):
 
 
 fused_ffn_residual.defvjp(_res_fwd, _res_bwd)
+
+
+def _ffn_res_reference_masked(keep, x_res, a, ln_scale, ln_bias,
+                              w1, b1, w2, b2, ma, my):
+    """XLA twin of the masked kernel — the exact op order of the unfused
+    training path (``branch / keep * mask`` in the IO dtype, see
+    models/attention.py _drop_path_pair)."""
+    B = x_res.shape[0]
+    ma3 = ma.reshape(B, 1, 1).astype(x_res.dtype)
+    my3 = my.reshape(B, 1, 1).astype(x_res.dtype)
+    x = x_res + a / keep * ma3
+    y = _ffn_reference(x, ln_scale, ln_bias, w1, b1, w2, b2)
+    return x + y / keep * my3
+
+
+ffn_residual_masked_reference = _ffn_res_reference_masked
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_ffn_residual_masked(keep, x_res, a, ln_scale, ln_bias,
+                              w1, b1, w2, b2, ma, my):
+    """``fused_ffn_residual`` with the block's two per-sample drop-path
+    scalings fused in: ``x = x_res + a/keep*ma; out = x + mlp(ln2(x))/keep*my``
+    (``ma``/``my`` are 0/1 keep masks of shape [B]).  This lets the TRAINING
+    step keep the single-kernel residual tail — the reference recipe runs
+    stochastic depth up to 0.4 (configs/ssv2.yaml MVIT.DROPPATH_RATE), which
+    previously forced the unfused path on every drop-path block."""
+    return _ffn_res_forward(x_res, a, ln_scale, ln_bias, w1, b1, w2, b2,
+                            ma=ma, my=my, keep=keep)
+
+
+def _resm_fwd(keep, x_res, a, ln_scale, ln_bias, w1, b1, w2, b2, ma, my):
+    return (
+        _ffn_res_forward(x_res, a, ln_scale, ln_bias, w1, b1, w2, b2,
+                         ma=ma, my=my, keep=keep),
+        (x_res, a, ln_scale, ln_bias, w1, b1, w2, b2, ma, my),
+    )
+
+
+def _resm_bwd(keep, res, g):
+    _, vjp = jax.vjp(
+        lambda *args: _ffn_res_reference_masked(keep, *args), *res
+    )
+    return vjp(g)
+
+
+fused_ffn_residual_masked.defvjp(_resm_fwd, _resm_bwd)
 
 
 @jax.custom_vjp

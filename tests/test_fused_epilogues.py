@@ -158,6 +158,88 @@ def test_fused_ln_qkv_matches_reference():
         assert rel < 1e-5, f"ln_qkv grad {i} rel err {rel}"
 
 
+def _res_args(dtype=jnp.float32, B=3, N=48, C=32, H=64, seed=13):
+    rng = np.random.RandomState(seed)
+    xr = jnp.asarray(rng.randn(B, N, C), dtype)
+    a = jnp.asarray(rng.randn(B, N, C), dtype)
+    ls = jnp.asarray(1 + 0.1 * rng.randn(C), jnp.float32)
+    lb = jnp.asarray(0.1 * rng.randn(C), jnp.float32)
+    w1 = jnp.asarray(0.1 * rng.randn(C, H), dtype)
+    b1 = jnp.asarray(0.1 * rng.randn(H), jnp.float32)
+    w2 = jnp.asarray(0.1 * rng.randn(H, C), dtype)
+    b2 = jnp.asarray(0.1 * rng.randn(C), jnp.float32)
+    ma = jnp.asarray([1.0, 0.0, 1.0][:B], jnp.float32)
+    my = jnp.asarray([1.0, 1.0, 0.0][:B], jnp.float32)
+    return (xr, a, ls, lb, w1, b1, w2, b2, ma, my)
+
+
+def test_ffn_residual_masked_matches_reference():
+    keep = 0.7
+    args = _res_args()
+    o1 = pf.fused_ffn_residual_masked(keep, *args)
+    o2 = pf.ffn_residual_masked_reference(keep, *args)
+    assert float(jnp.abs(o1 - o2).max() / jnp.abs(o2).max()) < 1e-5
+
+    gf = jax.grad(lambda *t: (pf.fused_ffn_residual_masked(keep, *t) ** 2).sum(),
+                  argnums=tuple(range(8)))(*args)
+    gr = jax.grad(lambda *t: (pf.ffn_residual_masked_reference(keep, *t) ** 2).sum(),
+                  argnums=tuple(range(8)))(*args)
+    for i, (x1, x2) in enumerate(zip(gf, gr)):
+        rel = float(jnp.abs(x1 - x2).max() / (jnp.abs(x2).max() + 1e-9))
+        assert rel < 1e-5, f"masked ffn grad {i} rel err {rel}"
+
+
+def test_ffn_residual_masked_drop_semantics():
+    """mask=0 drops the branch per sample: a-mask kills the attention
+    residual, y-mask kills the MLP branch (out == x for that sample)."""
+    keep = 0.5
+    xr, a, ls, lb, w1, b1, w2, b2, ma, my = _res_args(B=3)
+    out = pf.fused_ffn_residual_masked(keep, xr, a, ls, lb, w1, b1, w2, b2,
+                                       ma, my)
+    # sample 1: ma=0 -> x == xr; sample 2: my=0 -> out == x
+    x1 = xr[1]
+    exp1 = x1 + pf.ffn_reference(x1[None], ls, lb, w1, b1, w2, b2)[0] / keep
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(exp1),
+                               rtol=1e-5, atol=1e-5)
+    x2 = xr[2] + a[2] / keep
+    np.testing.assert_allclose(np.asarray(out[2]), np.asarray(x2),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_ffn_residual_masked_all_keep_equals_unmasked():
+    """keep=1 with all-ones masks must equal the unmasked kernel exactly."""
+    xr, a, ls, lb, w1, b1, w2, b2, _, _ = _res_args(B=2)
+    ones = jnp.ones((2,), jnp.float32)
+    o1 = pf.fused_ffn_residual_masked(1.0, xr, a, ls, lb, w1, b1, w2, b2,
+                                      ones, ones)
+    o2 = pf.fused_ffn_residual(xr, a, ls, lb, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_model_droppath_train_fused_matches_unfused():
+    """Full tiny model in TRAIN mode with active drop-path: the pallas
+    path (masked fused residual tail, interpret) must match the XLA path
+    under the same dropout rng — mask draws are order-compatible."""
+    import sys
+    sys.path.insert(0, "tests") if "tests" not in sys.path else None
+    from test_pallas_attention import _make_cfg
+    from svit_tpu.models import build_model
+
+    cfg = _make_cfg()
+    cfg.MVIT.DROPPATH_RATE = 0.5
+    m_x, _ = build_model(cfg, use_pallas=False)
+    m_p, _ = build_model(cfg, use_pallas=True)
+    x = jnp.asarray(
+        np.random.RandomState(1).randn(4, 4, 32, 32, 3).astype(np.float32)
+    )
+    params = m_x.init({"params": jax.random.PRNGKey(0)}, x, deterministic=True)
+    rngs = {"dropout": jax.random.PRNGKey(42)}
+    lx, _ = m_x.apply(params, x, deterministic=False, rngs=rngs)
+    lp, _ = m_p.apply(params, x, deterministic=False, rngs=rngs)
+    np.testing.assert_allclose(np.asarray(lx), np.asarray(lp), atol=5e-4)
+
+
 def test_pick_q_tile_proj_budget():
     """The resident [C, C] projection must shrink the q tile when tight."""
     base = pa._pick_q_tile(1024, 25088, 1664, live_f32_rows=2, c=96, heads=1)
