@@ -138,6 +138,75 @@ def _grads(model, loss_obj, params, video, filter_grad: str = "taps"):
         pooling.FILTER_GRAD_IMPL = prev
 
 
+def _grads_train(model, loss_obj, params, video, rng):
+    """TRAIN-mode grads: deterministic=False with active drop-path, so the
+    masked fused residual tail (fused_ffn_residual_masked) and its VJP run.
+    All variants draw identical per-sample masks: the fused and unfused
+    paths call make_rng("dropout") the same number of times in the same
+    order (asserted on CPU by test_model_droppath_train_fused_matches_unfused).
+    """
+    import jax
+
+    def loss_fn(p):
+        logits, extra = model.apply(
+            p, video["clips"], deterministic=False, rngs={"dropout": rng}
+        )
+        raw = extra.get("raw_logits", logits)
+        vdict = loss_obj.video_losses(
+            raw, video["labels"], extra, None, video.get("weight")
+        )
+        return loss_obj.weighted_sum(vdict)
+
+    return jax.jit(jax.grad(loss_fn))(params)
+
+
+def _train_mode_gate(report, verbose=False):
+    """Small-size train-mode gradient gate (the masked-kernel code path is
+    shape-independent; small shapes bound the tunnel compile time)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from svit_tpu.config import assert_and_infer_cfg, get_cfg
+    from svit_tpu.models.losses import get_loss_func
+
+    cfg = get_cfg()
+    cfg.merge_from_file(os.path.join(REPO, "configs", "ssv2.yaml"))
+    cfg.DATA.TRAIN_CROP_SIZE = cfg.DATA.TEST_CROP_SIZE = 56
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.MVIT.DEPTH = 3
+    cfg.MVIT.DIM_MUL = [[1, 2.0]]
+    cfg.MVIT.HEAD_MUL = [[1, 2.0]]
+    cfg.MVIT.POOL_Q_STRIDE = [[0, 1, 1, 1], [1, 1, 2, 2], [2, 1, 1, 1]]
+    cfg.MVIT.DROPPATH_RATE = 0.4
+    assert_and_infer_cfg(cfg)
+
+    prod, xla16, f32, _ = _build_variants(cfg)
+    S, T = cfg.DATA.TEST_CROP_SIZE, cfg.DATA.NUM_FRAMES
+    rs = np.random.RandomState(3)
+    x = jnp.asarray(rs.randn(4, T, S, S, 3).astype(np.float32))
+    params = _fixed_params(f32, x)
+    loss_obj = get_loss_func(cfg)
+    video = {
+        "clips": x,
+        "labels": jnp.asarray(rs.randint(0, 174, 4)),
+        "weight": jnp.ones((4,), jnp.float32),
+    }
+    rng = jax.random.PRNGKey(11)
+    flat = {}
+    for name, model in (("prod", prod), ("xla16", xla16), ("f32", f32)):
+        g = jax.device_get(_grads_train(model, loss_obj, params, video, rng))
+        flat[name] = np.concatenate([
+            np.asarray(l, np.float64).ravel()
+            for l in jax.tree_util.tree_leaves(g)
+        ])
+        if verbose:
+            print(f"train grads[{name}] done", file=sys.stderr)
+    return _gate_one(
+        "train.grads_global", flat["prod"], flat["xla16"], flat["f32"], report
+    )
+
+
 def _gate_one(name, prod_val, xla16_val, f32_val, report):
     e_prod = _rel_err(prod_val, f32_val)
     e_xla = _rel_err(xla16_val, f32_val)
@@ -249,6 +318,7 @@ def run_gate(
             "err_pallas": round(worst[2], 6),
             "err_xla_bf16": round(worst[3], 6),
         }
+        ok &= _train_mode_gate(report, verbose=verbose)
 
     report["ok"] = bool(ok)
     return report
