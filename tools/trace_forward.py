@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--out", default="/tmp/svit_trace")
+    ap.add_argument("--train", action="store_true",
+                    help="trace the fused train step (bench.py shapes) "
+                         "instead of the forward")
     args = ap.parse_args()
 
     import jax
@@ -53,19 +56,64 @@ def main():
         ),
         abstract,
     )
-    fwd = jax.jit(lambda p, x, s: model.apply(p, x + s * 0, deterministic=True)[0])
-    s = jnp.float32(0)
-    for _ in range(3):
-        s = fwd(params, x, s).mean()
-    _ = float(s)
+    if args.train:
+        # the bench.py train step: video CE + image HAOG + consistency,
+        # donated state — iterations chain through the state naturally
+        from svit_tpu.engine import steps
+        from svit_tpu.models.losses import get_loss_func
+        from svit_tpu.models.optimizer import construct_optimizer
 
-    os.system(f"rm -rf {args.out}")
-    jax.profiler.start_trace(args.out)
-    s = jnp.float32(0)
-    for _ in range(args.iters):
-        s = fwd(params, x, s).mean()
-    _ = float(s)
-    jax.profiler.stop_trace()
+        loss_obj = get_loss_func(cfg)
+        tx, _ = construct_optimizer(cfg, steps_per_epoch=1000)
+        Bv = Bi = max(args.batch // 2, 1)
+        rs = np.random.RandomState(0)
+        video = {
+            "clips": jnp.asarray(rs.randn(Bv, T, S, S, 3), jnp.float32),
+            "labels": jnp.asarray(rs.randint(0, 174, Bv)),
+            "weight": jnp.ones((Bv,), jnp.float32),
+        }
+        image = {
+            "frames": jnp.asarray(rs.randn(Bi, 1, S, S, 3), jnp.float32),
+            "haog_bboxes": jnp.asarray(
+                rs.rand(Bi, 1, cfg.SVIT.O, 4) * 0.5 + 0.1, jnp.float32
+            ),
+            "contact_state": jnp.asarray(rs.randint(-1, 5, (Bi, 2))),
+            "weight": jnp.ones((Bi,), jnp.float32),
+        }
+        state = steps.create_train_state(params["params"], tx)
+        step_fn = jax.jit(
+            steps.make_train_step(
+                model, loss_obj, tx, video_weight=7 / 8, image_weight=1 / 8,
+                with_image=True, with_consistency=True,
+            ),
+            donate_argnums=(0,),
+        )
+        rng = jax.random.PRNGKey(1)
+        state, m = step_fn(state, video, image, rng)
+        _ = float(m["loss"])
+
+        os.system(f"rm -rf {args.out}")
+        jax.profiler.start_trace(args.out)
+        for i in range(args.iters):
+            state, m = step_fn(state, video, image, jax.random.fold_in(rng, i))
+        _ = float(m["loss"])
+        jax.profiler.stop_trace()
+    else:
+        fwd = jax.jit(
+            lambda p, x, s: model.apply(p, x + s * 0, deterministic=True)[0]
+        )
+        s = jnp.float32(0)
+        for _ in range(3):
+            s = fwd(params, x, s).mean()
+        _ = float(s)
+
+        os.system(f"rm -rf {args.out}")
+        jax.profiler.start_trace(args.out)
+        s = jnp.float32(0)
+        for _ in range(args.iters):
+            s = fwd(params, x, s).mean()
+        _ = float(s)
+        jax.profiler.stop_trace()
 
     path = sorted(glob.glob(f"{args.out}/**/*.trace.json.gz", recursive=True))[-1]
     with gzip.open(path) as f:
