@@ -478,7 +478,7 @@ class MultiScaleAttention(nn.Module):
             # so neither the raw attention output nor the ``out+q`` sum is
             # ever written to HBM.
             og = pa.fused_attention_proj(
-                qf, kv_all, bias_src, scatter, wp.astype(self.dtype),
+                qf, kv_all, bias_src, scatter, wp.astype(self.dtype), bp,
                 scale, heads, self.residual_pooling,
             )
         else:
@@ -489,8 +489,7 @@ class MultiScaleAttention(nn.Module):
                 og = og + qf.astype(og.dtype)
             og = jnp.einsum(
                 "blc,cd->bld", og.astype(self.dtype), wp.astype(self.dtype)
-            )
-        og = og + bp.astype(self.dtype)
+            ) + bp.astype(self.dtype)
 
         # Extras (cls + object) queries: zero rel-pos bias (reference only
         # biases the patch block) — a tiny plain attention over the same K/V

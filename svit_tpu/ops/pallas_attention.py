@@ -157,7 +157,14 @@ def _attn_kernel(q_ref, kv_ref, bias_ref, m_ref, *refs,
     the stream per block).  Rounding matches the unfused path bit-for-bit:
     head outputs round to the IO dtype, the residual add runs in the IO
     dtype, and the projection accumulates f32 like an XLA bf16 matmul."""
-    wp_ref, o_ref = refs if len(refs) == 2 else (None, refs[0])
+    if len(refs) == 3:
+        wp_ref, bp_ref, o_ref = refs
+    elif len(refs) == 2:
+        wp_ref, o_ref = refs
+        bp_ref = None
+    else:
+        wp_ref = bp_ref = None
+        (o_ref,) = refs
     Tq, C = q_ref.shape[1], q_ref.shape[2]
     Nk = kv_ref.shape[1]
     hd = C // heads
@@ -191,9 +198,16 @@ def _attn_kernel(q_ref, kv_ref, bias_ref, m_ref, *refs,
         return
     if q_residual:
         att = att + q_ref[0]
-    o_ref[0] = jnp.dot(
+    o = jnp.dot(
         att, wp_ref[...], preferred_element_type=jnp.float32
     ).astype(o_ref.dtype)
+    if bp_ref is not None:
+        # the projection bias in the epilogue too (an XLA `og + bp` was a
+        # full read+write of the stream per block); IO-dtype add, rounding
+        # identical to the unfused path.  keepdim (1, C) read — 1-D row
+        # extraction from VMEM is a Mosaic compile trap.
+        o = o + bp_ref[...]
+    o_ref[0] = o
 
 
 def pooled_attention(
@@ -206,6 +220,7 @@ def pooled_attention(
     scale: Optional[float] = None,
     q_tile: int = 1024,
     wp: Optional[jax.Array] = None,   # [C, C] out-proj folded into epilogue
+    bp: Optional[jax.Array] = None,   # [C] out-proj bias (requires wp)
     q_residual: bool = False,         # add unscaled q before the projection
     interpret: Optional[bool] = None,
 ) -> jax.Array:
@@ -243,6 +258,9 @@ def pooled_attention(
     if wp is not None:
         in_specs.append(pl.BlockSpec((C, C), lambda b, i: (0, 0)))
         operands.append(wp.astype(q.dtype))
+        if bp is not None:
+            in_specs.append(pl.BlockSpec((1, C), lambda b, i: (0, 0)))
+            operands.append(bp.reshape(1, C).astype(q.dtype))
     out = pl.pallas_call(
         functools.partial(
             _attn_kernel, heads=heads, scale=scale, q_residual=q_residual
@@ -531,8 +549,8 @@ def _bwd(scale, heads, res, g):
 fused_attention.defvjp(_fwd, _bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def fused_attention_proj(q, kv, bias_src, scatter, wp,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def fused_attention_proj(q, kv, bias_src, scatter, wp, bp,
                          scale=None, heads=1, q_residual=False):
     """Attention with the out-projection (and optionally the reference's
     residual-pooling ``out += q``, attention.py:455-459) folded into the
@@ -548,7 +566,7 @@ def fused_attention_proj(q, kv, bias_src, scatter, wp,
     f32-accumulated projection)."""
     return pooled_attention(
         q, kv, bias_src, scatter, scale=scale, heads=heads,
-        wp=wp, q_residual=q_residual,
+        wp=wp, bp=bp, q_residual=q_residual,
     )
 
 
@@ -559,18 +577,21 @@ def _proj_base(q, kv, bias_src, scatter, scale, heads, q_residual):
     return att + q if q_residual else att
 
 
-def _fwd_proj(q, kv, bias_src, scatter, wp, scale, heads, q_residual):
+def _fwd_proj(q, kv, bias_src, scatter, wp, bp, scale, heads, q_residual):
     base = _proj_base(q, kv, bias_src, scatter, scale, heads, q_residual)
     out = jax.lax.dot_general(
         base, wp.astype(base.dtype),
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(base.dtype)
-    return out, (q, kv, bias_src, scatter, wp, base)
+    ).astype(base.dtype) + bp.astype(base.dtype)
+    return out, (q, kv, bias_src, scatter, wp, bp, base)
 
 
 def _bwd_proj(scale, heads, q_residual, res, g):
-    q, kv, bias_src, scatter, wp, base = res
+    q, kv, bias_src, scatter, wp, bp, base = res
+    dbp = jnp.sum(
+        g.astype(jnp.float32), axis=(0, 1)
+    ).astype(bp.dtype)
     dwp = jnp.einsum(
         "bnc,bnd->cd", base, g, preferred_element_type=jnp.float32
     ).astype(wp.dtype)
@@ -593,7 +614,7 @@ def _bwd_proj(scale, heads, q_residual, res, g):
         dq, dkv, dbias = vjp(dbase)
     if q_residual:
         dq = dq + dbase.astype(dq.dtype)
-    return dq, dkv, dbias, None, dwp
+    return dq, dkv, dbias, None, dwp, dbp
 
 
 fused_attention_proj.defvjp(_fwd_proj, _bwd_proj)

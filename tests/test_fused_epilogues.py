@@ -31,51 +31,52 @@ def _attn_inputs(B=2, Nq=40, Nk=24, C=32, heads=4, k_shape=(3, 4, 2)):
         pa._scatter_matrix(k_shape, Nk, n_k_pad, 0), jnp.float32
     )
     wp = jnp.asarray(rng.randn(C, C) * 0.05, jnp.float32)
-    return q, kv, bias, scatter, wp
+    bp = jnp.asarray(rng.randn(C) * 0.05, jnp.float32)
+    return q, kv, bias, scatter, wp, bp
 
 
 @pytest.mark.parametrize("q_residual", [False, True])
 def test_fused_attention_proj_matches_reference(q_residual):
-    q, kv, bias, scatter, wp = _attn_inputs()
+    q, kv, bias, scatter, wp, bp = _attn_inputs()
     scale = 0.25
     heads = 4
     Nk = kv.shape[1]
 
-    def ref(q, kv, bias, wp):
+    def ref(q, kv, bias, wp, bp):
         att = pa._reference_attention(q, kv, bias, scatter[:, :Nk], scale, heads)
         if q_residual:
             att = att + q
-        return att @ wp
+        return att @ wp + bp
 
     out = pa.fused_attention_proj(
-        q, kv, bias, scatter, wp, scale, heads, q_residual
+        q, kv, bias, scatter, wp, bp, scale, heads, q_residual
     )
-    r = ref(q, kv, bias, wp)
+    r = ref(q, kv, bias, wp, bp)
     assert float(jnp.abs(out - r).max() / jnp.abs(r).max()) < 1e-5
 
 
 @pytest.mark.parametrize("q_residual", [False, True])
 def test_fused_attention_proj_gradients(q_residual):
-    q, kv, bias, scatter, wp = _attn_inputs()
+    q, kv, bias, scatter, wp, bp = _attn_inputs()
     scale = 0.25
     heads = 4
     Nk = kv.shape[1]
 
-    def loss_fused(q, kv, bias, wp):
+    def loss_fused(q, kv, bias, wp, bp):
         o = pa.fused_attention_proj(
-            q, kv, bias, scatter, wp, scale, heads, q_residual
+            q, kv, bias, scatter, wp, bp, scale, heads, q_residual
         )
         return (o ** 2).sum()
 
-    def loss_ref(q, kv, bias, wp):
+    def loss_ref(q, kv, bias, wp, bp):
         att = pa._reference_attention(q, kv, bias, scatter[:, :Nk], scale, heads)
         if q_residual:
             att = att + q
-        return ((att @ wp) ** 2).sum()
+        return ((att @ wp + bp) ** 2).sum()
 
-    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, kv, bias, wp)
-    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, kv, bias, wp)
-    for a, b, name in zip(gf, gr, ("q", "kv", "bias", "wp")):
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(q, kv, bias, wp, bp)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, kv, bias, wp, bp)
+    for a, b, name in zip(gf, gr, ("q", "kv", "bias", "wp", "bp")):
         rel = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-9))
         assert rel < 1e-5, f"grad {name} rel err {rel}"
 
