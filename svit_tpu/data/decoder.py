@@ -99,6 +99,44 @@ def pyav_decode(
     return video, fps, decode_all
 
 
+def native_decode(
+    path: str,
+    sampling_rate: int,
+    num_frames: int,
+    clip_idx: int,
+    num_clips: int = 10,
+    target_fps: int = 30,
+    use_offset: bool = False,
+    rng=None,
+):
+    """``pyav_decode`` semantics through the native libav shim
+    (svit_tpu/native/video.py): identical fps-normalized window math here,
+    seek + pts-filtered RGB decode in C."""
+    from svit_tpu.native import video as nv
+
+    meta = nv.probe(path)
+    if meta is None:
+        return None, 0.0, True
+    fps, frames_length, duration = meta
+    if duration is None or frames_length == 0:
+        decode_all = True
+        res = nv.decode_window(path)
+    else:
+        decode_all = False
+        clip_size = sampling_rate * num_frames / target_fps * fps
+        start_idx, end_idx = get_start_end_idx(
+            frames_length, clip_size, clip_idx, num_clips, rng, use_offset
+        )
+        timebase = duration / frames_length
+        res = nv.decode_window(
+            path, int(start_idx * timebase), int(end_idx * timebase)
+        )
+    if res is None:
+        return None, fps, decode_all
+    video, _pts = res
+    return video, fps, decode_all
+
+
 def decode(
     path: str,
     sampling_rate: int,
@@ -113,16 +151,25 @@ def decode(
     """Decode + temporally sample a clip; returns uint8 [T, H, W, C] or None."""
     assert clip_idx >= -1, f"Not a valid clip_idx {clip_idx}"
     try:
-        if backend in ("pyav", "torchvision"):
+        if backend in ("pyav", "torchvision", "native"):
             # torchvision's C++ reader is CUDA-repo machinery; one host decode
             # path suffices on TPU (SURVEY.md §2.9) — the flag is accepted.
-            import av
+            # Backend priority: the native libav shim, then PyAV.
+            from svit_tpu.native import video as nv
 
-            container = av.open(path)
-            frames, fps, decode_all = pyav_decode(
-                container, sampling_rate, num_frames, clip_idx, num_clips,
-                target_fps, use_offset, rng,
-            )
+            if nv.available():
+                frames, fps, decode_all = native_decode(
+                    path, sampling_rate, num_frames, clip_idx, num_clips,
+                    target_fps, use_offset, rng,
+                )
+            else:
+                import av
+
+                container = av.open(path)
+                frames, fps, decode_all = pyav_decode(
+                    container, sampling_rate, num_frames, clip_idx, num_clips,
+                    target_fps, use_offset, rng,
+                )
         else:
             raise NotImplementedError(f"Unknown decoding backend {backend}")
     except Exception as e:

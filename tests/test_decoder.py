@@ -126,6 +126,7 @@ def _stub_av(container):
 
 
 def test_decode_end_to_end_with_stub_av(monkeypatch):
+    monkeypatch.setattr("svit_tpu.native.video.available", lambda: False)
     monkeypatch.setitem(sys.modules, "av", _stub_av(FakeContainer(64)))
     out = decoder.decode("x.mp4", sampling_rate=2, num_frames=8, clip_idx=0,
                          num_clips=2)
@@ -136,6 +137,7 @@ def test_decode_end_to_end_with_stub_av(monkeypatch):
 
 
 def test_decode_torchvision_flag_uses_host_path(monkeypatch):
+    monkeypatch.setattr("svit_tpu.native.video.available", lambda: False)
     monkeypatch.setitem(sys.modules, "av", _stub_av(FakeContainer(64)))
     out = decoder.decode("x.mp4", 2, 8, clip_idx=0, num_clips=2,
                          backend="torchvision")
@@ -143,6 +145,7 @@ def test_decode_torchvision_flag_uses_host_path(monkeypatch):
 
 
 def test_decode_failure_returns_none(monkeypatch):
+    monkeypatch.setattr("svit_tpu.native.video.available", lambda: False)
     mod = types.ModuleType("av")
 
     def boom(path):
@@ -177,3 +180,131 @@ def test_get_start_end_idx_modes():
     rng = np.random.default_rng(0)
     s1, _ = decoder.get_start_end_idx(100, 20, -1, 0, rng=rng)
     assert 0 <= s1 <= 80
+
+
+# ---- real encoded containers through the native libav shim ----------------
+# video_decode.cc also exports a test encoder (mpeg4, gray frames with luma
+# 16 + 3*i), so these decode REAL containers: seek, pts filtering, drain,
+# RGB conversion, and the full decode() window logic run on actual codec
+# output rather than the fakes above.
+
+_native_video = pytest.importorskip("svit_tpu.native.video")
+needs_native = pytest.mark.skipif(
+    not _native_video.available(), reason="native libav shim unavailable"
+)
+
+
+def _ramp_video(tmp_path, n=60, fps=30, w=64, h=48):
+    path = str(tmp_path / "ramp.mp4")
+    assert _native_video.encode_gray_ramp(path, w, h, n, fps)
+    return path
+
+
+def _mean_to_index(frame):
+    # encoder luma = 16 + 3*i; BT.601 limited->full: rgb = (y-16)*255/219
+    return round(float(frame.mean()) * 219 / 255 / 3)
+
+
+@needs_native
+def test_native_probe_and_full_decode(tmp_path):
+    path = _ramp_video(tmp_path, n=60)
+    fps, nb, dur = _native_video.probe(path)
+    assert nb == 60 and dur is not None and 29 <= fps <= 31
+    video, pts = _native_video.decode_window(path)
+    assert video.shape == (60, 48, 64, 3) and video.dtype == np.uint8
+    assert list(pts) == sorted(pts)
+    idx = [_mean_to_index(f) for f in video]
+    assert idx == list(range(60))
+
+
+@needs_native
+def test_native_decode_window_selects_pts_range(tmp_path):
+    path = _ramp_video(tmp_path, n=60)
+    _, nb, dur = _native_video.probe(path)
+    timebase = dur / nb
+    video, pts = _native_video.decode_window(
+        path, int(20 * timebase), int(29 * timebase)
+    )
+    idx = [_mean_to_index(f) for f in video]
+    # the pts window maps back to source frames 20..29; the container's
+    # stream duration excludes the last frame's span (duration = (n-1) *
+    # frame_step), so the derived timebase under-counts and the window's
+    # last frame may quantize one short — the PyAV reference math behaves
+    # identically (decoder.py pyav_decode `timebase = duration /
+    # frames_length`)
+    assert idx[0] == 20 and idx[-1] in (28, 29) and idx == sorted(idx)
+
+
+@needs_native
+def test_decode_end_to_end_real_container(tmp_path):
+    path = _ramp_video(tmp_path, n=60, fps=30)
+    out = decoder.decode(path, sampling_rate=2, num_frames=8, clip_idx=0,
+                         num_clips=2, target_fps=30)
+    assert out is not None and out.shape == (8, 48, 64, 3)
+    ids = [_mean_to_index(f) for f in out]
+    # clip 0 of 2: window starts at frame 0, spans ~16 source frames
+    assert ids == sorted(ids) and ids[0] <= 2 and 12 <= ids[-1] <= 18
+
+
+@needs_native
+def test_decode_real_container_clip_windows_differ(tmp_path):
+    path = _ramp_video(tmp_path, n=60, fps=30)
+    first = decoder.decode(path, 2, 8, clip_idx=0, num_clips=3)
+    last = decoder.decode(path, 2, 8, clip_idx=2, num_clips=3)
+    assert first is not None and last is not None
+    # later uniform clip windows sample strictly later source frames
+    assert _mean_to_index(last[0]) > _mean_to_index(first[0])
+    assert _mean_to_index(last[-1]) > _mean_to_index(first[-1])
+
+
+@needs_native
+def test_decode_real_container_train_mode_rng(tmp_path):
+    path = _ramp_video(tmp_path, n=60, fps=30)
+    a = decoder.decode(path, 2, 8, clip_idx=-1,
+                       rng=np.random.default_rng(7))
+    b = decoder.decode(path, 2, 8, clip_idx=-1,
+                       rng=np.random.default_rng(7))
+    assert a is not None and np.array_equal(a, b)
+
+
+@needs_native
+def test_native_decode_corrupt_file_returns_none(tmp_path):
+    bad = tmp_path / "bad.mp4"
+    bad.write_bytes(b"not a container")
+    assert decoder.decode(str(bad), 2, 8) is None
+
+
+@needs_native
+def test_kinetics_dataset_end_to_end_real_containers(tmp_path):
+    """The full Kinetics path — csv construction, retry loop, native
+    container decode, temporal sampling, spatial transform — over real
+    mpeg4 files (previously only fake containers ever reached decode)."""
+    from svit_tpu.config import assert_and_infer_cfg, get_cfg
+    from svit_tpu.data.build import build_dataset
+
+    vids = []
+    for i in range(2):
+        p = str(tmp_path / f"v{i}.mp4")
+        assert _native_video.encode_gray_ramp(p, 64, 48, 60, 30)
+        vids.append(p)
+    csv = tmp_path / "train.csv"
+    csv.write_text("\n".join(f"{p} {i}" for i, p in enumerate(vids)) + "\n")
+
+    cfg = get_cfg()
+    cfg.TRAIN.DATASET = "Kinetics"
+    cfg.DATA.PATH_TO_DATA_DIR = str(tmp_path)
+    cfg.DATA.PATH_PREFIX = ""
+    cfg.DATA.NUM_FRAMES = 8
+    cfg.DATA.SAMPLING_RATE = 2
+    cfg.DATA.TRAIN_CROP_SIZE = 32
+    cfg.DATA.TRAIN_JITTER_SCALES = [36, 40]
+    cfg.AUG.ENABLE = False
+    assert_and_infer_cfg(cfg)
+
+    ds = build_dataset("Kinetics", cfg, "train")
+    assert len(ds) == 2
+    frames, label, index, extra = ds[0]
+    assert frames.shape == (8, 32, 32, 3)
+    assert label == 0 and index == 0
+    # normalized float frames from a real decoded gray ramp
+    assert np.isfinite(np.asarray(frames)).all()
