@@ -57,6 +57,14 @@ def frame_source(cfg) -> Iterator[np.ndarray]:
             with Image.open(os.path.join(src, n)) as im:
                 yield np.asarray(im.convert("RGB"))
         return
+    from svit_tpu.native import video as nv
+
+    if nv.available():
+        res = nv.decode_window(src)  # native libav shim (PyAV absent here)
+        assert res is not None, f"failed to decode {src}"
+        frames, _pts = res
+        yield from frames
+        return
     import av
 
     with av.open(src) as container:

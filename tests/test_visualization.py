@@ -73,3 +73,28 @@ def test_tensorboard_writer(env, tmp_path):
     w.close()
     events = glob.glob(os.path.join(str(tmp_path), "runs-*", "events.*"))
     assert events
+
+
+def test_demo_on_real_video_file(env, tmp_path):
+    """DEMO.INPUT_VIDEO pointing at an actual encoded container, decoded
+    through the native libav shim (the reference's PyAV demo path)."""
+    from svit_tpu.native import video as nv
+
+    if not nv.available():
+        pytest.skip("native libav shim unavailable")
+    root, out = env
+    src = str(tmp_path / "demo.mp4")
+    assert nv.encode_gray_ramp(src, 64, 48, 40, 30)
+
+    cfg = _tiny_cfg(root, out)
+    cfg.DEMO.ENABLE = True
+    cfg.DEMO.INPUT_VIDEO = src
+    cfg.DEMO.OUTPUT_FILE = os.path.join(out, "demo_video")
+    cfg.DATA.SAMPLING_RATE = 2
+
+    from svit_tpu.visualization.demo import demo
+
+    n_clips = demo(cfg)
+    assert n_clips >= 1
+    outs = glob.glob(os.path.join(out, "demo_video", "*.jpg"))
+    assert len(outs) >= cfg.DATA.NUM_FRAMES
