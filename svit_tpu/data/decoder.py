@@ -181,18 +181,17 @@ def decode(
     if frames is None or len(frames) == 0:
         return None
 
-    clip_size = sampling_rate * num_frames / target_fps * (
-        len(frames) if decode_all else target_fps
+    # Reference decoder.py:380-389: the clip span is ALWAYS fps-normalized
+    # (a 60 fps source spans twice the frames of a 30 fps one); for a
+    # windowed decode the window itself was already placed by pyav/native
+    # decode, so sampling restarts at clip 0-of-1 inside it.
+    clip_size = sampling_rate * num_frames / target_fps * (fps or target_fps)
+    start_idx, end_idx = get_start_end_idx(
+        len(frames),
+        clip_size,
+        clip_idx if decode_all else 0,
+        num_clips if decode_all else 1,
+        rng,
+        use_offset,
     )
-    if decode_all:
-        start_idx, end_idx = get_start_end_idx(
-            len(frames),
-            sampling_rate * num_frames,
-            clip_idx,
-            num_clips,
-            rng,
-            use_offset,
-        )
-    else:
-        start_idx, end_idx = 0, len(frames) - 1
     return temporal_sampling(frames, start_idx, end_idx, num_frames)

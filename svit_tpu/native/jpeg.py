@@ -18,14 +18,23 @@ _tried = False
 
 
 def _build() -> bool:
+    # serialize across PROCESSES (spawned loader workers race to build the
+    # same output file; a worker could CDLL a half-written .so and cache
+    # the failure for its whole life)
+    import fcntl
+
     try:
-        subprocess.run(
-            ["make", "-s", "-C", _DIR],
-            check=True,
-            capture_output=True,
-            timeout=120,
-        )
-        return os.path.isfile(_SO)
+        with open(os.path.join(_DIR, ".build.lock"), "w") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            if os.path.isfile(_SO):
+                return True
+            subprocess.run(
+                ["make", "-s", "-C", _DIR, "libsvit_native.so"],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+            return os.path.isfile(_SO)
     except Exception:
         return False
 

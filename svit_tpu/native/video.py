@@ -24,14 +24,23 @@ _tried = False
 
 
 def _build() -> bool:
+    # serialize across PROCESSES (spawned loader workers race to build the
+    # same output file; a worker could CDLL a half-written .so and cache
+    # the failure for its whole life)
+    import fcntl
+
     try:
-        subprocess.run(
-            ["make", "-s", "-C", _DIR, "libsvit_video.so"],
-            check=True,
-            capture_output=True,
-            timeout=120,
-        )
-        return os.path.isfile(_SO)
+        with open(os.path.join(_DIR, ".build.lock"), "w") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            if os.path.isfile(_SO):
+                return True
+            subprocess.run(
+                ["make", "-s", "-C", _DIR, "libsvit_video.so"],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+            return os.path.isfile(_SO)
     except Exception:
         return False
 
@@ -115,14 +124,20 @@ def decode_window(
         ctypes.byref(pts_ptr),
     )
     if not buf or n.value == 0:
+        if pts_ptr:
+            lib.svit_video_free(pts_ptr)
         return None
     try:
         shape = (n.value, h.value, w.value, 3)
         video = np.ctypeslib.as_array(buf, shape=shape).copy()
-        pts = np.ctypeslib.as_array(pts_ptr, shape=(n.value,)).copy()
+        if pts_ptr:
+            pts = np.ctypeslib.as_array(pts_ptr, shape=(n.value,)).copy()
+        else:  # pts alloc failed in C; synthesize ordinals (frames are sorted)
+            pts = np.arange(n.value, dtype=np.int64)
     finally:
         lib.svit_video_free(buf)
-        lib.svit_video_free(pts_ptr)
+        if pts_ptr:
+            lib.svit_video_free(pts_ptr)
     return video, pts
 
 

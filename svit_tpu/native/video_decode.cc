@@ -169,15 +169,15 @@ uint8_t* svit_video_decode_window(const char* path, int64_t start_pts,
   if (n > 0) {
     out = static_cast<uint8_t*>(malloc(size_t(n) * h * w * 3));
     int64_t* pts_arr = nullptr;
-    if (pts_out)
+    if (out && pts_out)
       pts_arr = static_cast<int64_t*>(malloc(sizeof(int64_t) * n));
     if (out) {
       for (int i = 0; i < n; ++i) {
         memcpy(out + size_t(i) * h * w * 3, frames[i].rgb, size_t(h) * w * 3);
         if (pts_arr) pts_arr[i] = frames[i].pts;
       }
+      if (pts_out) *pts_out = pts_arr;  // may be null; caller handles it
     }
-    if (pts_out) *pts_out = pts_arr;
   }
   for (auto& f : frames) free(f.rgb);
   if (out) {
@@ -194,13 +194,24 @@ uint8_t* svit_video_decode_window(const char* path, int64_t start_pts,
 int svit_video_encode_gray_ramp(const char* path, int w, int h, int n,
                                 int fps) {
   AVFormatContext* fmt = nullptr;
+  AVCodecContext* enc = nullptr;
+  // single cleanup path so every early error frees fmt/enc and closes avio
+  auto fail = [&](int code) {
+    if (enc) avcodec_free_context(&enc);
+    if (fmt) {
+      if (!(fmt->oformat->flags & AVFMT_NOFILE) && fmt->pb)
+        avio_closep(&fmt->pb);
+      avformat_free_context(fmt);
+    }
+    return code;
+  };
   if (avformat_alloc_output_context2(&fmt, nullptr, nullptr, path) < 0 || !fmt)
     return -1;
   const AVCodec* codec = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
-  if (!codec) return -2;
+  if (!codec) return fail(-2);
   AVStream* st = avformat_new_stream(fmt, nullptr);
-  AVCodecContext* enc = avcodec_alloc_context3(codec);
-  if (!st || !enc) return -3;
+  enc = avcodec_alloc_context3(codec);
+  if (!st || !enc) return fail(-3);
   enc->width = w;
   enc->height = h;
   enc->pix_fmt = AV_PIX_FMT_YUV420P;
@@ -209,13 +220,13 @@ int svit_video_encode_gray_ramp(const char* path, int w, int h, int n,
   enc->max_b_frames = 0;
   if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
     enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
-  if (avcodec_open2(enc, codec, nullptr) < 0) return -4;
+  if (avcodec_open2(enc, codec, nullptr) < 0) return fail(-4);
   avcodec_parameters_from_context(st->codecpar, enc);
   st->time_base = enc->time_base;
   if (!(fmt->oformat->flags & AVFMT_NOFILE) &&
       avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0)
-    return -5;
-  if (avformat_write_header(fmt, nullptr) < 0) return -6;
+    return fail(-5);
+  if (avformat_write_header(fmt, nullptr) < 0) return fail(-6);
 
   AVFrame* frame = av_frame_alloc();
   frame->format = enc->pix_fmt;

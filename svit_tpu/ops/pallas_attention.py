@@ -226,6 +226,7 @@ def pooled_attention(
 ) -> jax.Array:
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    assert wp is not None or bp is None, "bp (out-proj bias) requires wp"
     B, Nq, C = q.shape
     Nk = kv.shape[1]
     Nk_pad = scatter.shape[1]
