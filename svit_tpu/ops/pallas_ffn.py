@@ -247,8 +247,16 @@ def _ln_qkv_forward(x, ln_scale, ln_bias, wq, bq, wkv, bkv,
 
 
 def _ln_qkv_reference(x, ln_scale, ln_bias, wq, bq, wkv, bkv):
-    q = _ln_dense_reference(x, ln_scale, ln_bias, wq, bq)
-    kv = _ln_dense_reference(x, ln_scale, ln_bias, wkv, bkv)
+    # ONE shared LN feeding both projections (not two _ln_dense_reference
+    # calls): this is also the VJP recompute, where a duplicated LN would
+    # materialize xn twice and run the LN backward twice in training
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + _EPS) * ln_scale + ln_bias
+    xq = xn.astype(wq.dtype)
+    q = (jnp.dot(xq, wq, preferred_element_type=jnp.float32) + bq).astype(x.dtype)
+    kv = (jnp.dot(xq, wkv, preferred_element_type=jnp.float32) + bkv).astype(x.dtype)
     return q, kv
 
 
