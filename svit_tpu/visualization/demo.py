@@ -45,10 +45,57 @@ def load_labels(path: str) -> List[str]:
     return list(data)
 
 
+def _webcam_source(cfg) -> Iterator[np.ndarray]:
+    """Stream RGB frames from camera DEMO.WEBCAM (reference
+    ``demo_loader.py:28-47`` uses cv2.VideoCapture; here the native V4L2
+    ioctl shim captures directly from /dev/video<N>).  Streams until the
+    device stalls or ``SVIT_DEMO_MAX_FRAMES`` frames (0 = unbounded; the
+    reference's analogue of quitting the cv2 window)."""
+    index = cfg.DEMO.WEBCAM
+    limit = int(os.environ.get("SVIT_DEMO_MAX_FRAMES", "0"))
+    cap = None
+    try:
+        import cv2  # reference-parity path when OpenCV can open the device
+
+        cap = cv2.VideoCapture(index)
+        if not cap.isOpened():
+            cap.release()
+            cap = None
+    except ImportError:
+        cap = None
+    if cap is not None:
+        n = 0
+        try:
+            while limit <= 0 or n < limit:
+                ok, frame = cap.read()
+                if not ok:
+                    return
+                yield frame[..., ::-1]  # BGR -> RGB
+                n += 1
+        finally:
+            cap.release()
+        return
+    from svit_tpu.native import camera as ncam
+
+    with ncam.CameraSource(
+        index, cfg.DEMO.DISPLAY_WIDTH, cfg.DEMO.DISPLAY_HEIGHT
+    ) as cam:
+        n = 0
+        for frame in cam:
+            yield frame
+            n += 1
+            if limit > 0 and n >= limit:
+                return
+
+
 def frame_source(cfg) -> Iterator[np.ndarray]:
-    """Yield RGB uint8 frames from DEMO.INPUT_VIDEO (file or frame dir)."""
+    """Yield RGB uint8 frames from DEMO.INPUT_VIDEO (file or frame dir) or,
+    when it is unset and DEMO.WEBCAM >= 0, from the live camera."""
     src = cfg.DEMO.INPUT_VIDEO
-    assert src, "DEMO.INPUT_VIDEO must be set (webcam needs cv2; unavailable)"
+    if not src and cfg.DEMO.WEBCAM >= 0:
+        yield from _webcam_source(cfg)
+        return
+    assert src, "set DEMO.INPUT_VIDEO (file / frame dir) or DEMO.WEBCAM"
     if os.path.isdir(src):
         names = sorted(
             n for n in os.listdir(src) if n.lower().endswith((".jpg", ".png", ".jpeg"))
@@ -175,8 +222,31 @@ def demo(cfg):
     writer_done = threading.Event()
 
     out_dir = cfg.DEMO.OUTPUT_FILE or os.path.join(cfg.OUTPUT_DIR, "demo_out")
+    video_exts = (".mp4", ".avi", ".mkv", ".mov", ".webm")
+    as_video = out_dir.lower().endswith(video_exts)
 
     def writer_thread():
+        if as_video:
+            # Reference ``demo_loader.py`` VideoManager: OUTPUT_FILE is an
+            # encoded video via cv2.VideoWriter at DEMO.OUTPUT_FPS.
+            import cv2
+
+            fps = cfg.DEMO.OUTPUT_FPS if cfg.DEMO.OUTPUT_FPS > 0 else 30
+            writer = None
+            while True:
+                item = out_frames.get()
+                if item is None:
+                    break
+                if writer is None:
+                    h, w = item.shape[:2]
+                    writer = cv2.VideoWriter(
+                        out_dir, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+                    )
+                writer.write(item[..., ::-1])  # RGB -> BGR
+            if writer is not None:
+                writer.release()
+            writer_done.set()
+            return
         os.makedirs(out_dir, exist_ok=True)
         i = 0
         while True:

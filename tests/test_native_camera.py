@@ -1,0 +1,140 @@
+"""Native V4L2 webcam shim (svit_tpu/native/camera_v4l2.cc).
+
+No camera device exists in CI, so the tests cover the testable surface:
+the YUYV->RGB conversion numerics (vs a numpy BT.601 reference), the
+open-failure contract, and the demo's webcam wiring with a stubbed
+CameraSource.  Reference analogue: the cv2.VideoCapture webcam branch of
+``slowfast/visualization/demo_loader.py:28-47``.
+"""
+
+import numpy as np
+import pytest
+
+from svit_tpu.native import camera as ncam
+
+
+def _ref_yuyv_to_rgb(yuyv: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Integer BT.601 limited-range conversion, same form as the shim."""
+    mp = yuyv.reshape(-1, 4).astype(np.int32)
+    y = np.stack([mp[:, 0], mp[:, 2]], axis=1)  # [pairs, 2]
+    d = (mp[:, 1] - 128)[:, None]
+    e = (mp[:, 3] - 128)[:, None]
+    c = 298 * (y - 16)
+    r = (c + 409 * e + 128) >> 8
+    g = (c - 100 * d - 208 * e + 128) >> 8
+    b = (c + 516 * d + 128) >> 8
+    rgb = np.stack([r, g, b], axis=-1).reshape(-1, 3)
+    return np.clip(rgb, 0, 255).astype(np.uint8).reshape(h, w, 3)
+
+
+@pytest.mark.skipif(not ncam.available(), reason="camera shim did not build")
+def test_yuyv_to_rgb_matches_reference():
+    rs = np.random.RandomState(0)
+    w, h = 64, 32
+    yuyv = rs.randint(0, 256, h * w * 2, dtype=np.uint8)
+    got = ncam.yuyv_to_rgb(yuyv, w, h)
+    want = _ref_yuyv_to_rgb(yuyv, w, h)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.skipif(not ncam.available(), reason="camera shim did not build")
+def test_yuyv_gray_point():
+    # Y=128, U=V=128 is mid gray: (298*(128-16)+128)>>8 == 130 on all chans.
+    w, h = 4, 2
+    yuyv = np.tile(np.array([128, 128, 128, 128], np.uint8), h * w // 2)
+    got = ncam.yuyv_to_rgb(yuyv, w, h)
+    assert got.shape == (h, w, 3)
+    np.testing.assert_array_equal(got, np.full((h, w, 3), 130, np.uint8))
+
+
+@pytest.mark.skipif(not ncam.available(), reason="camera shim did not build")
+def test_open_missing_device_raises():
+    with pytest.raises(RuntimeError, match="video997"):
+        ncam.CameraSource(997)
+
+
+def test_demo_frame_source_webcam_wiring(monkeypatch):
+    """DEMO.WEBCAM >= 0 with no INPUT_VIDEO routes to the camera source and
+    honors SVIT_DEMO_MAX_FRAMES."""
+    from svit_tpu.config import get_cfg
+    from svit_tpu.visualization import demo as demo_mod
+
+    frames = [np.full((8, 8, 3), i, np.uint8) for i in range(5)]
+
+    class FakeCam:
+        def __init__(self, index, width=0, height=0):
+            assert index == 0
+            self.width, self.height = 8, 8
+
+        def __iter__(self):
+            return iter(frames)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            pass
+
+    monkeypatch.setattr(
+        "svit_tpu.native.camera.CameraSource", FakeCam
+    )
+    monkeypatch.setenv("SVIT_DEMO_MAX_FRAMES", "3")
+    cfg = get_cfg()
+    cfg.DEMO.WEBCAM = 0
+    cfg.DEMO.INPUT_VIDEO = ""
+    got = list(demo_mod.frame_source(cfg))
+    assert len(got) == 3
+    np.testing.assert_array_equal(got[1], frames[1])
+
+
+def test_demo_video_writer(tmp_path, monkeypatch):
+    """DEMO.OUTPUT_FILE with a video suffix writes an encoded video
+    (reference demo_loader VideoManager uses cv2.VideoWriter)."""
+    cv2 = pytest.importorskip("cv2")
+    from svit_tpu.config import get_cfg
+    from svit_tpu.visualization import demo as demo_mod
+
+    out = str(tmp_path / "demo.mp4")
+    frames = [np.full((32, 48, 3), 40 * i, np.uint8) for i in range(4)]
+
+    class FakeCam:
+        def __init__(self, index, width=0, height=0):
+            pass
+
+        def __iter__(self):
+            return iter(frames)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            pass
+
+    class FakePredictor:
+        def __init__(self, cfg):
+            pass
+
+        def __call__(self, buf):
+            return np.ones(174) / 174, np.zeros((16, 6, 5))
+
+    monkeypatch.setattr("svit_tpu.native.camera.CameraSource", FakeCam)
+    monkeypatch.setattr(demo_mod, "Predictor", FakePredictor)
+    cfg = get_cfg()
+    cfg.DEMO.WEBCAM = 0
+    cfg.DEMO.INPUT_VIDEO = ""
+    cfg.DEMO.OUTPUT_FILE = out
+    cfg.DATA.NUM_FRAMES = 2
+    cfg.DATA.SAMPLING_RATE = 1
+    cfg.OUTPUT_DIR = str(tmp_path)
+    n = demo_mod.demo(cfg)
+    assert n >= 1
+    cap = cv2.VideoCapture(out)
+    assert cap.isOpened()
+    count = 0
+    while True:
+        ok, _ = cap.read()
+        if not ok:
+            break
+        count += 1
+    cap.release()
+    assert count >= 2
