@@ -262,13 +262,19 @@ def main():
             sys.path.insert(0, os.path.join(REPO, "tools"))
             from check_kernels_hw import run_gate
 
+            print("bench: kernel gate...", file=sys.stderr, flush=True)
             gate = run_gate(check_bwd=True)
+            print(f"bench: kernel gate ok={gate['ok']}", file=sys.stderr,
+                  flush=True)
         except Exception as e:
             print(f"kernel gate failed to run: {e}", file=sys.stderr)
 
+    print("bench: forward...", file=sys.stderr, flush=True)
     clips_per_sec, p50_ms, mfu_fwd, mfu_fwd_xla = measure_tpu_forward(
         cfg, model, params
     )
+    print(f"bench: forward {clips_per_sec:.1f} clips/s; train step...",
+          file=sys.stderr, flush=True)
     try:
         train_cps, train_ms, mfu_train, mfu_train_xla = measure_tpu_train(
             cfg, model, params
