@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _VMEM_BUDGET = 13 * 1024 * 1024
 _EPS = 1e-6
@@ -309,17 +310,22 @@ def _ffn_res_kernel(xr_ref, a_ref, ls_ref, lb_ref, w1_ref, b1_ref,
     # the block's residual stream, computed entirely in VMEM:
     #   x = x_res + a;  out = x + mlp(ln(x))
     # adds run in the IO dtype — bit-identical to the unfused XLA adds.
-    # With mask refs present (refs = (ma_ref, my_ref, o_ref)) the two
-    # per-sample drop-path scalings run in VMEM too, in the exact op order
-    # of the unfused path (``branch / keep * mask`` in the IO dtype), so
-    # training numerics match _drop_path_pair bit-for-bit.
-    if len(refs) == 3:
-        ma_ref, my_ref, o_ref = refs
+    # With a mask ref present (refs = (m_ref, o_ref); m_ref is a [2, B] f32
+    # array in SMEM — per-sample scalars can't be a VMEM block, Mosaic
+    # requires (8,128)-tileable lanes) the two per-sample drop-path scalings
+    # run in VMEM too, in the exact op order of the unfused path
+    # (``branch / keep * mask`` in the IO dtype), so training numerics match
+    # _drop_path_pair bit-for-bit: the 0/1 mask scalar is exact in any dtype.
+    if len(refs) == 2:
+        m_ref, o_ref = refs
+        b = pl.program_id(0)
+        ma = m_ref[0, b].astype(xr_ref.dtype)
+        my = m_ref[1, b].astype(xr_ref.dtype)
         # python-float keep stays weakly typed: ops run in the IO dtype
-        xs = xr_ref[0] + a_ref[0] / keep * ma_ref[...]
+        xs = xr_ref[0] + a_ref[0] / keep * ma
     else:
         (o_ref,) = refs
-        ma_ref = my_ref = None
+        my = None
         xs = xr_ref[0] + a_ref[0]
     x = xs.astype(jnp.float32)
     mean = jnp.mean(x, axis=-1, keepdims=True)
@@ -335,8 +341,8 @@ def _ffn_res_kernel(xr_ref, a_ref, ls_ref, lb_ref, w1_ref, b1_ref,
         h.astype(w2_ref.dtype), w2_ref[...],
         preferred_element_type=jnp.float32,
     ) + b2_ref[0]
-    if my_ref is not None:
-        o_ref[0] = xs + y.astype(o_ref.dtype) / keep * my_ref[...]
+    if my is not None:
+        o_ref[0] = xs + y.astype(o_ref.dtype) / keep * my
     else:
         o_ref[0] = xs + y.astype(o_ref.dtype)
 
@@ -371,11 +377,13 @@ def _ffn_res_forward(x_res, a, ln_scale, ln_bias, w1, b1, w2, b2,
         w1, b1.reshape(1, H), w2, b2.reshape(1, w2.shape[1]),
     ]
     if ma is not None:
-        # per-sample drop-path masks (0/1), one scalar per batch row
-        in_specs.append(pl.BlockSpec((1, 1), lambda b, i: (b, 0)))
-        in_specs.append(pl.BlockSpec((1, 1), lambda b, i: (b, 0)))
-        operands.append(ma.reshape(B, 1).astype(x_res.dtype))
-        operands.append(my.reshape(B, 1).astype(x_res.dtype))
+        # per-sample drop-path masks (0/1) ride in SMEM as one [2, B] f32
+        # array — scalar memory is the lowerable home for per-batch-row
+        # scalars (a VMEM block would need (8,128)-aligned lanes)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(
+            jnp.stack([ma, my]).reshape(2, B).astype(jnp.float32)
+        )
     out = pl.pallas_call(
         functools.partial(_ffn_res_kernel, keep=keep),
         out_shape=jax.ShapeDtypeStruct((B, N_pad, w2.shape[1]), x_res.dtype),
