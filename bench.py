@@ -24,6 +24,8 @@ Prints ONE JSON line:
 
 import json
 import os
+import signal
+import subprocess
 import sys
 import time
 
@@ -206,6 +208,13 @@ def measure_tpu_train(cfg, model, params):
     return TRAIN_BATCH_VIDEO / dt, dt * 1000, mfu, mfu_xla
 
 
+# Torch-CPU forward measured on this host (r1-r3, stable at ~0.09): the
+# live re-measurement takes ~6 min at batch 16 and must never be allowed to
+# delay the primary metric on a fresh clone.  Set SVIT_BENCH_MEASURE_BASELINE=1
+# to re-measure (result is then cached in .bench_baseline.json).
+RECORDED_CPU_CLIPS_PER_SEC = 0.0908
+
+
 def measure_torch_cpu_baseline():
     """Reference model forward on CPU — batch-matched, averaged (cached)."""
     if os.path.isfile(BASELINE_CACHE):
@@ -213,6 +222,8 @@ def measure_torch_cpu_baseline():
             cached = json.load(f)
             if cached.get("batch") == BATCH:
                 return cached["cpu_clips_per_sec"]
+    if os.environ.get("SVIT_BENCH_MEASURE_BASELINE", "0") != "1":
+        return RECORDED_CPU_CLIPS_PER_SEC
     try:
         sys.path.insert(0, os.path.join(REPO, "tests", "refshim"))
         sys.path.insert(0, "/root/reference")
@@ -244,7 +255,66 @@ def measure_torch_cpu_baseline():
     return result
 
 
+def run_gate_subprocess(timeout_s: float):
+    """On-hardware kernel numerics gate, STRICTLY time-boxed.
+
+    Runs ``tools/check_kernels_hw.py`` (fwd + bwd + train-mode) in a child
+    process with a hard timeout so a hung Mosaic compile can never eat the
+    driver's budget — round 3's bench died exactly that way (rc=124 before
+    the first JSON byte).  The full report lands in
+    ``docs/KERNEL_GATE_latest.json``; the bench JSON carries the verdict.
+    """
+    script = os.path.join(REPO, "tools", "check_kernels_hw.py")
+    try:
+        proc = subprocess.run(
+            [sys.executable, script],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"bench: kernel gate timed out after {timeout_s:.0f}s",
+              file=sys.stderr, flush=True)
+        return {"ok": "timeout"}
+    except Exception as e:
+        print(f"bench: kernel gate failed to launch: {e}", file=sys.stderr)
+        return {"ok": "error"}
+    brace = proc.stdout.find("{")
+    if brace >= 0:
+        try:
+            report = json.loads(proc.stdout[brace:])
+        except json.JSONDecodeError:
+            report = None
+        if report is not None:
+            try:
+                with open(os.path.join(
+                        REPO, "docs", "KERNEL_GATE_latest.json"), "w") as f:
+                    json.dump(report, f, indent=1)
+            except OSError:
+                pass
+            return report
+    print(f"bench: kernel gate produced no report (rc={proc.returncode}): "
+          f"{proc.stderr[-400:]}", file=sys.stderr, flush=True)
+    return {"ok": "error"}
+
+
+_RESULT = {}
+
+
+def _emit(out=None):
+    """Print the current result JSON line (the driver parses the LAST one)."""
+    print(json.dumps(out or _RESULT), flush=True)
+
+
+def _on_term(signum, frame):
+    # the driver's `timeout` sends SIGTERM: flush whatever we measured so the
+    # round always has a perf record, then exit cleanly
+    if _RESULT.get("value"):
+        _RESULT.setdefault("note", "terminated before completion")
+        _emit()
+    os._exit(0)
+
+
 def main():
+    signal.signal(signal.SIGTERM, _on_term)
     cfg, model, arch = _build()
     import jax.numpy as jnp
     import numpy as np
@@ -253,26 +323,28 @@ def main():
     x = jnp.asarray(np.zeros((1, T, S, S, 3), np.float32))
     params = _host_params(model, x)
 
-    # On-hardware kernel numerics gate (tools/check_kernels_hw.py): the
-    # compiled Mosaic kernels vs XLA/f32 on this chip, fwd + bwd.  Runs
-    # first so a miscompiled kernel can never produce a "fast" bench number.
-    gate = None
-    if os.environ.get("SVIT_BENCH_SKIP_GATE", "0") != "1":
-        try:
-            sys.path.insert(0, os.path.join(REPO, "tools"))
-            from check_kernels_hw import run_gate
-
-            print("bench: kernel gate...", file=sys.stderr, flush=True)
-            gate = run_gate(check_bwd=True)
-            print(f"bench: kernel gate ok={gate['ok']}", file=sys.stderr,
-                  flush=True)
-        except Exception as e:
-            print(f"kernel gate failed to run: {e}", file=sys.stderr)
-
+    # 1) PRIMARY metric first — nothing may run before it.
     print("bench: forward...", file=sys.stderr, flush=True)
     clips_per_sec, p50_ms, mfu_fwd, mfu_fwd_xla = measure_tpu_forward(
         cfg, model, params
     )
+    baseline = measure_torch_cpu_baseline()
+    _RESULT.update({
+        "metric": "clips/sec/chip (16f x 224 SViT-B, bf16 fwd, "
+        f"batch {BATCH}; p50 latency {p50_ms:.1f} ms/clip @ bs1)",
+        "value": round(clips_per_sec, 2),
+        "unit": "clips/s",
+        # CPU smoke comparison only — see module docstring.
+        "vs_baseline": round(clips_per_sec / baseline, 2),
+        "p50_ms_bs1": round(p50_ms, 2),
+    })
+    if mfu_fwd:
+        _RESULT["mfu_fwd"] = round(mfu_fwd, 4)
+    if mfu_fwd_xla:
+        _RESULT["mfu_fwd_xla"] = round(mfu_fwd_xla, 4)
+    _emit()  # perf record secured; everything below only enriches it
+
+    # 2) Train step.
     print(f"bench: forward {clips_per_sec:.1f} clips/s; train step...",
           file=sys.stderr, flush=True)
     try:
@@ -282,33 +354,32 @@ def main():
     except Exception as e:  # train bench must never hide the primary metric
         print(f"train-step bench failed: {e}", file=sys.stderr)
         train_cps = train_ms = mfu_train = mfu_train_xla = None
-    baseline = measure_torch_cpu_baseline()
-    out = {
-        "metric": "clips/sec/chip (16f x 224 SViT-B, bf16 fwd, "
-        f"batch {BATCH}; p50 latency {p50_ms:.1f} ms/clip @ bs1)",
-        "value": round(clips_per_sec, 2),
-        "unit": "clips/s",
-        # CPU smoke comparison only — see module docstring.
-        "vs_baseline": round(clips_per_sec / baseline, 2),
-        "p50_ms_bs1": round(p50_ms, 2),
-    }
-    if gate is not None:
-        out["kernels_match_hw"] = gate["ok"]
-        out["kernel_gate_bwd_err"] = gate.get("bwd.grads_global", {}).get(
-            "err_pallas_vs_f32"
-        )
-    if mfu_fwd:
-        out["mfu_fwd"] = round(mfu_fwd, 4)
-    if mfu_fwd_xla:
-        out["mfu_fwd_xla"] = round(mfu_fwd_xla, 4)
     if train_cps:
-        out["train_clips_per_sec_chip"] = round(train_cps, 2)
-        out["train_step_ms"] = round(train_ms, 1)
+        _RESULT["train_clips_per_sec_chip"] = round(train_cps, 2)
+        _RESULT["train_step_ms"] = round(train_ms, 1)
         if mfu_train:
-            out["mfu_train"] = round(mfu_train, 4)
+            _RESULT["mfu_train"] = round(mfu_train, 4)
         if mfu_train_xla:
-            out["mfu_train_xla"] = round(mfu_train_xla, 4)
-    print(json.dumps(out))
+            _RESULT["mfu_train_xla"] = round(mfu_train_xla, 4)
+    _emit()
+
+    # 3) Kernel numerics gate, time-boxed (a wrong-answer kernel must be
+    # visible next to any "fast" number — but may never suppress it).
+    if os.environ.get("SVIT_BENCH_SKIP_GATE", "0") != "1":
+        print("bench: kernel gate...", file=sys.stderr, flush=True)
+        budget = float(os.environ.get("SVIT_BENCH_GATE_TIMEOUT_S", "900"))
+        gate = run_gate_subprocess(budget)
+        _RESULT["kernels_match_hw"] = gate.get("ok")
+        bwd = gate.get("bwd.grads_global")
+        if bwd:
+            _RESULT["kernel_gate_bwd_err"] = bwd.get("err_pallas_vs_f32")
+        train_gate = gate.get("train.grads_global")
+        if train_gate:
+            _RESULT["kernel_gate_train_err"] = train_gate.get(
+                "err_pallas_vs_f32"
+            )
+            _RESULT["kernel_gate_train_ok"] = train_gate.get("ok")
+    _emit()
 
 
 if __name__ == "__main__":

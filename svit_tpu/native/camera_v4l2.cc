@@ -140,6 +140,17 @@ void* svit_camera_open(const char* dev, int req_w, int req_h,
   }
   cam->w = static_cast<int>(fmt.fmt.pix.width);
   cam->h = static_cast<int>(fmt.fmt.pix.height);
+  // The converters below assume packed rows; a driver that pads the row
+  // stride would shear every frame.  Reject padded strides outright (rare
+  // for YUYV/RGB24 webcams; handling them isn't worth a row loop until a
+  // real device needs it).
+  const uint32_t packed_bpl =
+      static_cast<uint32_t>(cam->w) * (cam->fourcc == V4L2_PIX_FMT_YUYV ? 2 : 3);
+  if (fmt.fmt.pix.bytesperline != 0 &&
+      fmt.fmt.pix.bytesperline != packed_bpl) {
+    svit_camera_close(cam);
+    return nullptr;
+  }
 
   v4l2_requestbuffers req;
   std::memset(&req, 0, sizeof(req));
@@ -211,13 +222,17 @@ int svit_camera_read(void* cam_p, uint8_t* rgb) {
   buf.type = V4L2_BUF_TYPE_VIDEO_CAPTURE;
   buf.memory = V4L2_MEMORY_MMAP;
   if (xioctl(cam->fd, VIDIOC_DQBUF, &buf) < 0) return -2;
-  if (buf.index < static_cast<unsigned>(cam->nbuf)) {
-    const uint8_t* src = static_cast<const uint8_t*>(cam->bufs[buf.index]);
-    if (cam->fourcc == V4L2_PIX_FMT_YUYV) {
-      svit_yuyv_to_rgb(src, cam->w, cam->h, rgb);
-    } else {  // RGB24: straight copy
-      std::memcpy(rgb, src, static_cast<size_t>(cam->w) * cam->h * 3);
-    }
+  if (buf.index >= static_cast<unsigned>(cam->nbuf)) {
+    // out-of-range index from a misbehaving driver: nothing was written
+    // into `rgb` — this must be an error, not a "valid" garbage frame
+    xioctl(cam->fd, VIDIOC_QBUF, &buf);
+    return -2;
+  }
+  const uint8_t* src = static_cast<const uint8_t*>(cam->bufs[buf.index]);
+  if (cam->fourcc == V4L2_PIX_FMT_YUYV) {
+    svit_yuyv_to_rgb(src, cam->w, cam->h, rgb);
+  } else {  // RGB24: straight copy
+    std::memcpy(rgb, src, static_cast<size_t>(cam->w) * cam->h * 3);
   }
   xioctl(cam->fd, VIDIOC_QBUF, &buf);
   return 0;

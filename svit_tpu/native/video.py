@@ -82,6 +82,22 @@ def _load():
             ctypes.c_int,
             ctypes.c_int,
         ]
+        lib.svit_video_encoder_open.restype = ctypes.c_void_p
+        lib.svit_video_encoder_open.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_double,
+        ]
+        lib.svit_video_encoder_write.restype = ctypes.c_int
+        lib.svit_video_encoder_write.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.svit_video_encoder_close.restype = ctypes.c_int
+        lib.svit_video_encoder_close.argtypes = [ctypes.c_void_p]
         lib.svit_video_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
@@ -149,3 +165,55 @@ def encode_gray_ramp(path: str, w: int = 64, h: int = 48, n: int = 120,
     if lib is None:
         return False
     return lib.svit_video_encode_gray_ramp(path.encode(), w, h, n, fps) == 0
+
+
+class VideoEncoder:
+    """Streaming RGB24 -> mpeg4 writer (role of cv2.VideoWriter in the
+    reference demo, ``slowfast/visualization/demo_loader.py``).
+
+    Usage: ``enc = VideoEncoder(path, w, h, fps); enc.write(frame)...;
+    enc.close()``.  Frames are uint8 RGB [H, W, 3] at the open dimensions.
+    Raises RuntimeError when the native shim can't open the output.
+    """
+
+    def __init__(self, path: str, w: int, h: int, fps: float):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native video shim unavailable")
+        self._lib = lib
+        self._w, self._h = w, h
+        self._handle = lib.svit_video_encoder_open(
+            path.encode(), w, h, float(fps)
+        )
+        if not self._handle:
+            raise RuntimeError(f"cannot open video encoder for {path}")
+
+    def write(self, frame: np.ndarray) -> None:
+        assert frame.shape == (self._h, self._w, 3), (
+            f"frame {frame.shape} != open dims ({self._h}, {self._w}, 3)"
+        )
+        buf = np.ascontiguousarray(frame, dtype=np.uint8)
+        rc = self._lib.svit_video_encoder_write(
+            self._handle,
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            self._w, self._h,
+        )
+        if rc != 0:
+            raise RuntimeError(f"video encode failed (rc={rc})")
+
+    def close(self) -> None:
+        if self._handle:
+            rc = self._lib.svit_video_encoder_close(self._handle)
+            self._handle = None
+            if rc != 0:
+                raise RuntimeError(f"video finalize failed (rc={rc})")
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def encoder_available() -> bool:
+    return _load() is not None

@@ -188,9 +188,142 @@ uint8_t* svit_video_decode_window(const char* path, int64_t start_pts,
   return out;
 }
 
+// ---------------------------------------------------------------------------
+// Streaming RGB24 encoder: the no-OpenCV home of the demo's video writer
+// (reference slowfast/visualization/demo_loader.py uses cv2.VideoWriter).
+// open -> write(frame)* -> close; mpeg4/yuv420p, muxer from the extension.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Encoder {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* enc = nullptr;
+  AVStream* st = nullptr;
+  SwsContext* sws = nullptr;
+  AVFrame* frame = nullptr;
+  AVPacket* pkt = nullptr;
+  int w = 0, h = 0;
+  int64_t next_pts = 0;
+
+  ~Encoder() {
+    if (frame) av_frame_free(&frame);
+    if (pkt) av_packet_free(&pkt);
+    if (sws) sws_freeContext(sws);
+    if (enc) avcodec_free_context(&enc);
+    if (fmt) {
+      if (!(fmt->oformat->flags & AVFMT_NOFILE) && fmt->pb)
+        avio_closep(&fmt->pb);
+      avformat_free_context(fmt);
+    }
+  }
+
+  // send the current frame (or a null flush) and mux everything available
+  int drain(bool flush) {
+    if (avcodec_send_frame(enc, flush ? nullptr : frame) < 0) return -7;
+    while (true) {
+      int r = avcodec_receive_packet(enc, pkt);
+      if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) return 0;
+      if (r < 0) return -8;
+      av_packet_rescale_ts(pkt, enc->time_base, st->time_base);
+      pkt->stream_index = st->index;
+      if (av_interleaved_write_frame(fmt, pkt) < 0) return -9;
+    }
+  }
+};
+
+}  // namespace
+
+void* svit_video_encoder_open(const char* path, int w, int h, double fps) {
+  if (w <= 1 || h <= 1 || !(fps > 0)) return nullptr;
+  auto* e = new Encoder;
+  if (avformat_alloc_output_context2(&e->fmt, nullptr, nullptr, path) < 0 ||
+      !e->fmt) {
+    delete e;
+    return nullptr;
+  }
+  const AVCodec* codec = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
+  e->st = codec ? avformat_new_stream(e->fmt, nullptr) : nullptr;
+  e->enc = codec ? avcodec_alloc_context3(codec) : nullptr;
+  if (!e->st || !e->enc) {
+    delete e;
+    return nullptr;
+  }
+  // mpeg4 requires even dimensions for 4:2:0 chroma
+  e->w = w & ~1;
+  e->h = h & ~1;
+  e->enc->width = e->w;
+  e->enc->height = e->h;
+  e->enc->pix_fmt = AV_PIX_FMT_YUV420P;
+  // fractional rates (e.g. a probed 14.4 fps source) carry through exactly
+  e->enc->time_base = av_inv_q(av_d2q(fps, 1 << 16));
+  e->enc->gop_size = 12;
+  e->enc->max_b_frames = 0;
+  // generous bitrate (~1 bit/pixel): the demo overlay must stay legible
+  e->enc->bit_rate = int64_t(double(e->w) * e->h * fps);
+  if (e->fmt->oformat->flags & AVFMT_GLOBALHEADER)
+    e->enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  if (avcodec_open2(e->enc, codec, nullptr) < 0) {
+    delete e;
+    return nullptr;
+  }
+  avcodec_parameters_from_context(e->st->codecpar, e->enc);
+  e->st->time_base = e->enc->time_base;
+  if (!(e->fmt->oformat->flags & AVFMT_NOFILE) &&
+      avio_open(&e->fmt->pb, path, AVIO_FLAG_WRITE) < 0) {
+    delete e;
+    return nullptr;
+  }
+  if (avformat_write_header(e->fmt, nullptr) < 0) {
+    delete e;
+    return nullptr;
+  }
+  e->sws = sws_getContext(w, h, AV_PIX_FMT_RGB24, e->w, e->h,
+                          AV_PIX_FMT_YUV420P, SWS_BILINEAR, nullptr, nullptr,
+                          nullptr);
+  e->frame = av_frame_alloc();
+  e->pkt = av_packet_alloc();
+  if (!e->sws || !e->frame || !e->pkt) {
+    delete e;
+    return nullptr;
+  }
+  e->frame->format = e->enc->pix_fmt;
+  e->frame->width = e->w;
+  e->frame->height = e->h;
+  if (av_frame_get_buffer(e->frame, 0) < 0) {
+    delete e;
+    return nullptr;
+  }
+  return e;
+}
+
+// `rgb` is a packed [h, w, 3] frame at the open() dimensions.
+int svit_video_encoder_write(void* handle, const uint8_t* rgb, int w, int h) {
+  auto* e = static_cast<Encoder*>(handle);
+  if (!e || !rgb || w < e->w || h < e->h) return -1;
+  av_frame_make_writable(e->frame);
+  const uint8_t* src[1] = {rgb};
+  int stride[1] = {w * 3};
+  sws_scale(e->sws, src, stride, 0, h, e->frame->data, e->frame->linesize);
+  e->frame->pts = e->next_pts++;
+  return e->drain(false);
+}
+
+// Flush, write the trailer and free the encoder.  Always destroys `handle`.
+int svit_video_encoder_close(void* handle) {
+  auto* e = static_cast<Encoder*>(handle);
+  if (!e) return -1;
+  int rc = e->drain(true);
+  if (rc == 0 && av_write_trailer(e->fmt) < 0) rc = -10;
+  delete e;
+  return rc;
+}
+
 // Write an mpeg4 container (muxer inferred from the path extension) of `n`
 // gray frames with luma 16 + 3*i — a deterministic ramp the tests can
 // invert to recover WHICH source frames a decoded clip sampled.
+// (Kept separate from the streaming encoder: the ramp writes luma planes
+// directly so tests can invert EXACT values; RGB->YUV would round.)
 int svit_video_encode_gray_ramp(const char* path, int w, int h, int n,
                                 int fps) {
   AVFormatContext* fmt = nullptr;

@@ -6,10 +6,12 @@ per host, a ``(data, model)`` mesh over all chips, batch sharded on ``data``,
 gradients reduced by XLA collectives over ICI (no explicit NCCL calls).
 
 The ``model`` axis is an optional tensor-parallel dimension sharding the MLP
-hidden dimension and the fused-QKV output projection — dimensions that stay
-divisible at every block (attention-head count is 1 at the stem, so heads are
-NOT a shardable axis).  Default ``model=1`` reproduces pure data parallelism,
-matching the reference's capability (DP was its only gradient parallelism).
+hidden dimension only (``fc1`` column-wise, ``fc2`` row-wise — see
+``_param_spec``); the QKV projections stay replicated by design, because the
+low head counts of the early blocks make head/channel sharding unprofitable
+(the trade-off is documented in docs/PARITY.md).  Default ``model=1``
+reproduces pure data parallelism, matching the reference's capability (DP was
+its only gradient parallelism).
 """
 
 from __future__ import annotations

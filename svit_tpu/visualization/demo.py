@@ -45,7 +45,7 @@ def load_labels(path: str) -> List[str]:
     return list(data)
 
 
-def _webcam_source(cfg) -> Iterator[np.ndarray]:
+def _webcam_source(cfg, src_info=None) -> Iterator[np.ndarray]:
     """Stream RGB frames from camera DEMO.WEBCAM (reference
     ``demo_loader.py:28-47`` uses cv2.VideoCapture; here the native V4L2
     ioctl shim captures directly from /dev/video<N>).  Streams until the
@@ -55,13 +55,27 @@ def _webcam_source(cfg) -> Iterator[np.ndarray]:
     limit = int(os.environ.get("SVIT_DEMO_MAX_FRAMES", "0"))
     cap = None
     try:
-        import cv2  # reference-parity path when OpenCV can open the device
+        # reference-parity path when OpenCV can open the device.  A broad
+        # guard on purpose: a cv2 that imports but cannot capture (headless
+        # builds, test stubs) must fall back to the native V4L2 shim, like
+        # the reference tolerates absent capture backends
+        # (slowfast/visualization/demo_loader.py:17-60).
+        import cv2
 
         cap = cv2.VideoCapture(index)
         if not cap.isOpened():
             cap.release()
             cap = None
-    except ImportError:
+        else:
+            # reference VideoManager sets the requested capture size
+            if cfg.DEMO.DISPLAY_WIDTH > 0 and cfg.DEMO.DISPLAY_HEIGHT > 0:
+                cap.set(cv2.CAP_PROP_FRAME_WIDTH, cfg.DEMO.DISPLAY_WIDTH)
+                cap.set(cv2.CAP_PROP_FRAME_HEIGHT, cfg.DEMO.DISPLAY_HEIGHT)
+            if src_info is not None:
+                fps = float(cap.get(cv2.CAP_PROP_FPS) or 0)
+                if fps > 0:
+                    src_info["fps"] = fps
+    except Exception:
         cap = None
     if cap is not None:
         n = 0
@@ -88,12 +102,16 @@ def _webcam_source(cfg) -> Iterator[np.ndarray]:
                 return
 
 
-def frame_source(cfg) -> Iterator[np.ndarray]:
+def frame_source(cfg, src_info=None) -> Iterator[np.ndarray]:
     """Yield RGB uint8 frames from DEMO.INPUT_VIDEO (file or frame dir) or,
-    when it is unset and DEMO.WEBCAM >= 0, from the live camera."""
+    when it is unset and DEMO.WEBCAM >= 0, from the live camera.
+
+    ``src_info``, when a dict, receives ``fps`` once the source's frame
+    rate is known (reference ``demo_loader.py``: OUTPUT_FPS == -1 means
+    "write at the capture rate")."""
     src = cfg.DEMO.INPUT_VIDEO
     if not src and cfg.DEMO.WEBCAM >= 0:
-        yield from _webcam_source(cfg)
+        yield from _webcam_source(cfg, src_info)
         return
     assert src, "set DEMO.INPUT_VIDEO (file / frame dir) or DEMO.WEBCAM"
     if os.path.isdir(src):
@@ -107,6 +125,10 @@ def frame_source(cfg) -> Iterator[np.ndarray]:
     from svit_tpu.native import video as nv
 
     if nv.available():
+        if src_info is not None:
+            meta = nv.probe(src)
+            if meta and meta[0] > 0:
+                src_info["fps"] = meta[0]
         res = nv.decode_window(src)  # native libav shim (PyAV absent here)
         assert res is not None, f"failed to decode {src}"
         frames, _pts = res
@@ -115,6 +137,9 @@ def frame_source(cfg) -> Iterator[np.ndarray]:
     import av
 
     with av.open(src) as container:
+        stream = container.streams.video[0]
+        if src_info is not None and stream.average_rate:
+            src_info["fps"] = float(stream.average_rate)
         for frame in container.decode(video=0):
             yield frame.to_rgb().to_ndarray()
 
@@ -220,48 +245,100 @@ def demo(cfg):
     buffer: List[np.ndarray] = []
     out_frames: "queue.Queue" = queue.Queue()
     writer_done = threading.Event()
+    src_info: dict = {}
 
     out_dir = cfg.DEMO.OUTPUT_FILE or os.path.join(cfg.OUTPUT_DIR, "demo_out")
     video_exts = (".mp4", ".avi", ".mkv", ".mov", ".webm")
     as_video = out_dir.lower().endswith(video_exts)
 
-    def writer_thread():
-        if as_video:
-            # Reference ``demo_loader.py`` VideoManager: OUTPUT_FILE is an
-            # encoded video via cv2.VideoWriter at DEMO.OUTPUT_FPS.
+    # Pick the video encoder IN THE MAIN THREAD, before the writer starts:
+    # a writer thread dying on import would leave writer_done unset and the
+    # demo blocked.  cv2 is probed for a callable VideoWriter (a stub that
+    # imports but raises must not be selected); the first-party libav
+    # encoder (native/video.py VideoEncoder) is the no-OpenCV home.
+    encoder_backend = None
+    if as_video:
+        try:
             import cv2
 
-            fps = cfg.DEMO.OUTPUT_FPS if cfg.DEMO.OUTPUT_FPS > 0 else 30
-            writer = None
+            if callable(getattr(cv2, "VideoWriter", None)) and callable(
+                getattr(cv2, "VideoWriter_fourcc", None)
+            ):
+                cv2.VideoWriter_fourcc(*"mp4v")  # stub detector: must work
+                encoder_backend = "cv2"
+        except Exception:
+            pass
+        if encoder_backend is None:
+            from svit_tpu.native import video as nv
+
+            if nv.encoder_available():
+                encoder_backend = "native"
+            else:
+                logger.warning(
+                    "no video encoder available (cv2 absent, native shim "
+                    "unbuildable); writing frames to %s instead", out_dir
+                )
+                as_video = False
+
+    def _output_fps() -> float:
+        # reference demo_loader: OUTPUT_FPS == -1 -> write at the source rate
+        if cfg.DEMO.OUTPUT_FPS > 0:
+            return float(cfg.DEMO.OUTPUT_FPS)
+        return float(src_info.get("fps") or 30)
+
+    def writer_thread():
+        try:
+            if as_video:
+                # Reference ``demo_loader.py`` VideoManager semantics:
+                # OUTPUT_FILE is an encoded video at DEMO.OUTPUT_FPS.
+                writer = None
+                close = None
+                while True:
+                    item = out_frames.get()
+                    if item is None:
+                        break
+                    if writer is None:
+                        h, w = item.shape[:2]
+                        fps = _output_fps()
+                        if encoder_backend == "cv2":
+                            import cv2
+
+                            vw = cv2.VideoWriter(
+                                out_dir, cv2.VideoWriter_fourcc(*"mp4v"),
+                                fps, (w, h),
+                            )
+                            writer = lambda f: vw.write(f[..., ::-1])
+                            close = vw.release
+                        else:
+                            from svit_tpu.native import video as nv
+
+                            enc = nv.VideoEncoder(out_dir, w, h, fps)
+                            writer = enc.write
+                            close = enc.close
+                    writer(item)
+                if close is not None:
+                    close()
+                return
+            os.makedirs(out_dir, exist_ok=True)
+            i = 0
             while True:
                 item = out_frames.get()
                 if item is None:
                     break
-                if writer is None:
-                    h, w = item.shape[:2]
-                    writer = cv2.VideoWriter(
-                        out_dir, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
-                    )
-                writer.write(item[..., ::-1])  # RGB -> BGR
-            if writer is not None:
-                writer.release()
+                Image.fromarray(item).save(
+                    os.path.join(out_dir, f"{i:06d}.jpg")
+                )
+                i += 1
+        except Exception:
+            logger.exception("demo writer failed; dropping remaining frames")
+        finally:
             writer_done.set()
-            return
-        os.makedirs(out_dir, exist_ok=True)
-        i = 0
-        while True:
-            item = out_frames.get()
-            if item is None:
-                break
-            Image.fromarray(item).save(os.path.join(out_dir, f"{i:06d}.jpg"))
-            i += 1
-        writer_done.set()
 
     t = threading.Thread(target=writer_thread, daemon=True)
     t.start()
 
     n_clips = 0
-    for frame in frame_source(cfg):
+    for frame in frame_source(cfg, src_info):
         buffer.append(frame)
         if len(buffer) == seq_len:
             preds, pred_bboxes = predictor(buffer)

@@ -37,9 +37,16 @@ def _reference_available():
     return os.path.isdir(os.path.join(REFERENCE, "slowfast"))
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def torch_reference():
-    """Import the PyTorch reference (via dependency shims) for golden tests."""
+    """Import the PyTorch reference (via dependency shims) for golden tests.
+
+    Function-scoped with teardown: the refshim dir must not stay on
+    ``sys.path`` (and its ``cv2``/``av`` stubs must not stay importable)
+    once the test is over — production code paths (demo webcam/writer)
+    probe those modules and must see the REAL environment, where they are
+    absent.  The heavyweight ``slowfast`` imports are still one-time:
+    ``sys.modules`` caches them across fixture uses."""
     if not _reference_available():
         pytest.skip("reference repo not available")
     for p in (REFSHIM, REFERENCE):
@@ -48,7 +55,20 @@ def torch_reference():
     import slowfast.models.video_model_builder as ref_builder  # noqa
     import slowfast.config.defaults as ref_defaults  # noqa
 
-    return ref_builder, ref_defaults
+    yield ref_builder, ref_defaults
+
+    for p in (REFSHIM, REFERENCE):
+        while p in sys.path:
+            sys.path.remove(p)
+    # drop refshim-originated stubs of modules that PRODUCTION code imports
+    # (only cv2/av qualify); slowfast modules keep their direct references
+    for name in list(sys.modules):
+        if name in ("cv2", "av") or name.startswith(("cv2.", "av.")):
+            mod = sys.modules.get(name)
+            if mod is not None and REFSHIM in (
+                getattr(mod, "__file__", "") or ""
+            ):
+                del sys.modules[name]
 
 
 def small_cfg_pairs(torch_reference, **overrides):

@@ -87,38 +87,31 @@ def test_demo_frame_source_webcam_wiring(monkeypatch):
     np.testing.assert_array_equal(got[1], frames[1])
 
 
-def test_demo_video_writer(tmp_path, monkeypatch):
-    """DEMO.OUTPUT_FILE with a video suffix writes an encoded video
-    (reference demo_loader VideoManager uses cv2.VideoWriter)."""
-    cv2 = pytest.importorskip("cv2")
+class _FakeCam:
+    def __init__(self, index, width=0, height=0):
+        pass
+
+    def __iter__(self):
+        return iter(_FakeCam.frames)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        pass
+
+
+class _FakePredictor:
+    def __init__(self, cfg):
+        pass
+
+    def __call__(self, buf):
+        return np.ones(174) / 174, np.zeros((16, 6, 5))
+
+
+def _demo_cfg(tmp_path, out):
     from svit_tpu.config import get_cfg
-    from svit_tpu.visualization import demo as demo_mod
 
-    out = str(tmp_path / "demo.mp4")
-    frames = [np.full((32, 48, 3), 40 * i, np.uint8) for i in range(4)]
-
-    class FakeCam:
-        def __init__(self, index, width=0, height=0):
-            pass
-
-        def __iter__(self):
-            return iter(frames)
-
-        def __enter__(self):
-            return self
-
-        def __exit__(self, *exc):
-            pass
-
-    class FakePredictor:
-        def __init__(self, cfg):
-            pass
-
-        def __call__(self, buf):
-            return np.ones(174) / 174, np.zeros((16, 6, 5))
-
-    monkeypatch.setattr("svit_tpu.native.camera.CameraSource", FakeCam)
-    monkeypatch.setattr(demo_mod, "Predictor", FakePredictor)
     cfg = get_cfg()
     cfg.DEMO.WEBCAM = 0
     cfg.DEMO.INPUT_VIDEO = ""
@@ -126,15 +119,88 @@ def test_demo_video_writer(tmp_path, monkeypatch):
     cfg.DATA.NUM_FRAMES = 2
     cfg.DATA.SAMPLING_RATE = 1
     cfg.OUTPUT_DIR = str(tmp_path)
+    return cfg
+
+
+def test_demo_video_writer(tmp_path, monkeypatch):
+    """DEMO.OUTPUT_FILE with a video suffix writes an encoded video.
+
+    Reference demo_loader VideoManager uses cv2.VideoWriter; without
+    OpenCV the first-party libav encoder (native/video.py) takes over.
+    The output is verified by decoding it back through the native shim."""
+    from svit_tpu.native import video as nv
+    from svit_tpu.visualization import demo as demo_mod
+
+    if not nv.encoder_available():
+        pytest.skip("native video shim did not build")
+    out = str(tmp_path / "demo.mp4")
+    _FakeCam.frames = [np.full((32, 48, 3), 40 * i, np.uint8) for i in range(4)]
+    monkeypatch.setattr("svit_tpu.native.camera.CameraSource", _FakeCam)
+    monkeypatch.setattr(demo_mod, "Predictor", _FakePredictor)
+    n = demo_mod.demo(_demo_cfg(tmp_path, out))
+    assert n >= 1
+    res = nv.decode_window(out)
+    assert res is not None
+    dec, _pts = res
+    assert dec.shape[0] >= 2 and dec.shape[1:] == (32, 48, 3)
+
+
+def test_demo_video_writer_defective_cv2(tmp_path, monkeypatch):
+    """A cv2 that imports but raises on use (headless build / stub) must not
+    crash or hang the demo: the writer falls back to the native encoder.
+    Reference parity: the demo tolerates absent capture/draw backends
+    (slowfast/visualization/demo_loader.py:17-60)."""
+    import sys
+    import types
+
+    from svit_tpu.native import video as nv
+    from svit_tpu.visualization import demo as demo_mod
+
+    if not nv.encoder_available():
+        pytest.skip("native video shim did not build")
+
+    broken = types.ModuleType("cv2")
+
+    def _raise(*a, **kw):
+        raise RuntimeError("defective cv2")
+
+    broken.VideoCapture = _raise
+    broken.VideoWriter = _raise
+    broken.VideoWriter_fourcc = _raise
+    monkeypatch.setitem(sys.modules, "cv2", broken)
+
+    out = str(tmp_path / "demo.mp4")
+    _FakeCam.frames = [np.full((32, 48, 3), 40 * i, np.uint8) for i in range(4)]
+    monkeypatch.setattr("svit_tpu.native.camera.CameraSource", _FakeCam)
+    monkeypatch.setattr(demo_mod, "Predictor", _FakePredictor)
+    n = demo_mod.demo(_demo_cfg(tmp_path, out))
+    assert n >= 1
+    res = nv.decode_window(out)
+    assert res is not None and res[0].shape[0] >= 2
+
+
+def test_demo_output_fps_follows_source(tmp_path, monkeypatch):
+    """DEMO.OUTPUT_FPS == -1 writes at the source rate (reference
+    demo_loader.py: OUTPUT_FPS -1 -> capture fps)."""
+    from svit_tpu.native import video as nv
+    from svit_tpu.visualization import demo as demo_mod
+
+    if not nv.encoder_available():
+        pytest.skip("native video shim did not build")
+    src = str(tmp_path / "src.mp4")
+    assert nv.encode_gray_ramp(src, w=48, h=32, n=24, fps=12)
+    src_fps = nv.probe(src)[0]  # container avg estimate (n/(n-1) biased)
+    out = str(tmp_path / "demo.mp4")
+    monkeypatch.setattr(demo_mod, "Predictor", _FakePredictor)
+    cfg = _demo_cfg(tmp_path, out)
+    cfg.DEMO.WEBCAM = -1
+    cfg.DEMO.INPUT_VIDEO = src
+    cfg.DEMO.OUTPUT_FPS = -1
     n = demo_mod.demo(cfg)
     assert n >= 1
-    cap = cv2.VideoCapture(out)
-    assert cap.isOpened()
-    count = 0
-    while True:
-        ok, _ = cap.read()
-        if not ok:
-            break
-        count += 1
-    cap.release()
-    assert count >= 2
+    meta = nv.probe(out)
+    assert meta is not None
+    # the default would be 30; at the source rate both estimates sit ~12
+    assert abs(meta[0] - src_fps) < 1.5, (
+        f"output fps {meta[0]} != source {src_fps}"
+    )

@@ -305,18 +305,26 @@ def run_gate(
         # worst single leaf by EXCESS over xla16's own bf16 error (a tiny-norm
         # leaf where both bf16 variants drift equally is noise, not a bug)
         paths = jax.tree_util.tree_leaves_with_path(grads["f32"])
-        worst = (0.0, None, 0.0, 0.0)
+        worst = (0.0, None, 0.0, 0.0, 0.0)
         for i, (path, ref_leaf) in enumerate(paths):
             e_p = _rel_err(flat["prod"][i], ref_leaf)
             e_x = _rel_err(flat["xla16"][i], ref_leaf)
             excess = e_p - e_x
             if excess > worst[0]:
-                worst = (excess, jax.tree_util.keystr(path), e_p, e_x)
+                worst = (
+                    excess, jax.tree_util.keystr(path), e_p, e_x,
+                    float(np.linalg.norm(
+                        np.asarray(ref_leaf, np.float64).ravel()
+                    )),
+                )
         report["bwd.worst_leaf"] = {
             "excess": round(worst[0], 6),
             "path": worst[1],
             "err_pallas": round(worst[2], 6),
             "err_xla_bf16": round(worst[3], 6),
+            # rel-err is vs this norm: a huge rel-err on a ~0-norm leaf
+            # (e.g. a dead bias) is bf16 noise, not a kernel bug
+            "f32_grad_norm": round(worst[4], 8),
         }
         ok &= _train_mode_gate(report, verbose=verbose)
 
