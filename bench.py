@@ -199,8 +199,11 @@ def measure_tpu_train(cfg, model, params):
     state, m = step_fn(state, video, image, rng)  # compile + warm
     _ = float(m["loss"])
     t0 = time.perf_counter()
+    # constant rng operand: the step folds in state.step itself (engine
+    # semantics).  A per-iter host-side fold_in is a separate tiny dispatch
+    # through the TPU tunnel that stalls the pipeline ~11 ms/step.
     for i in range(TRAIN_ITERS):
-        state, m = step_fn(state, video, image, jax.random.fold_in(rng, i))
+        state, m = step_fn(state, video, image, rng)
     _ = float(m["loss"])
     dt = (time.perf_counter() - t0) / TRAIN_ITERS
     mfu = (flops / dt) / V5E_BF16_PEAK if flops else None

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from svit_tpu.models.common import LayerNorm, Mlp
-from svit_tpu.ops import pooling
+from svit_tpu.ops import mm, pooling
 
 Triple = Tuple[int, int, int]
 
@@ -314,14 +314,14 @@ class MultiScaleAttention(nn.Module):
                 # [C, 2*dim_out] weight slice: k|v stay lane-fused through
                 # the pool and into the attention kernel, so no separate
                 # k/v tensors (or their pads/pools) ever hit HBM.
+                # Rank-2 dot (ops/mm.py): the rank-3 einsum form lowers to a
+                # 1x1 conv whose batch-minor layout forces relayout copies
+                # around every Pallas call.
                 w, b = wslice(lo, hi)
-                y = on_flat(
-                    lambda u: jnp.einsum("blc,cd->bld", u.astype(self.dtype), w),
-                    t,
+                return mm.dense2d(
+                    t.astype(self.dtype), w,
+                    b if self.qkv_bias else None,
                 )
-                if self.qkv_bias:
-                    y = y + b.astype(self.dtype)
-                return y
 
             if ln1 is not None:
                 # norm1 fused into the q / k|v matmul prologues (the block
@@ -487,9 +487,9 @@ class MultiScaleAttention(nn.Module):
             )
             if self.residual_pooling:
                 og = og + qf.astype(og.dtype)
-            og = jnp.einsum(
-                "blc,cd->bld", og.astype(self.dtype), wp.astype(self.dtype)
-            ) + bp.astype(self.dtype)
+            og = mm.dense2d(
+                og.astype(self.dtype), wp.astype(self.dtype), bp
+            )
 
         # Extras (cls + object) queries: zero rel-pos bias (reference only
         # biases the patch block) — a tiny plain attention over the same K/V
@@ -527,9 +527,9 @@ class MultiScaleAttention(nn.Module):
         # og is already channel-flat [B, q_l, dim_out] and projected; only
         # the tiny extras output needs its head axis folded back + proj.
         oe = oe.transpose(0, 2, 1, 3).reshape(B, E, dim_out)
-        oe = jnp.einsum(
-            "bec,cd->bed", oe.astype(self.dtype), wp.astype(self.dtype)
-        ) + bp.astype(self.dtype)
+        oe = mm.dense2d(
+            oe.astype(self.dtype), wp.astype(self.dtype), bp
+        )
         if self.drop_rate > 0.0:
             drop = nn.Dropout(self.drop_rate)
             og = drop(og, deterministic=deterministic)
@@ -607,10 +607,14 @@ class MultiScaleBlock(nn.Module):
         )((gn, en), thw, deterministic=deterministic, ln1=ln1)
 
         if self.dim_mul_in_att and self.dim != self.dim_out:
+            # rank-2 inputs: a Dense on [B, L, C] lowers to a 1x1 conv whose
+            # batch-minor layout forces relayouts around the Pallas calls
             proj = nn.Dense(self.dim_out, dtype=self.dtype, name="proj")
-            gf = gn.reshape(gn.shape[0], -1, gn.shape[-1])
+            gf = gn.reshape(-1, gn.shape[-1])
             grid = proj(gf).reshape(gn.shape[:4] + (self.dim_out,))
-            extras = proj(en)
+            extras = proj(
+                en.reshape(-1, en.shape[-1])
+            ).reshape(en.shape[:2] + (self.dim_out,))
 
         # Residual skip path: max-pool the patch grid with kernel s+1 where the
         # q stride is s (reference attention.py:503-505,549-555); extras pass
@@ -618,7 +622,19 @@ class MultiScaleBlock(nn.Module):
         # block does not change resolution.
         if self.stride_q and int(np.prod(self.stride_q)) > 1:
             kernel_skip = tuple(s + 1 if s > 1 else s for s in self.stride_q)
-            grid_res = pooling.max_pool3d(grid, kernel_skip, tuple(self.stride_q))
+            if self.use_pallas:
+                # XLA reduce_window wants batch-second-minor layouts and
+                # drags relayout copies around the Pallas calls; the Pallas
+                # max kernel keeps the stream in the default layout
+                from svit_tpu.ops import pallas_pool
+
+                grid_res = pallas_pool.fused_pool_max(
+                    grid, kernel_skip, tuple(self.stride_q)
+                )
+            else:
+                grid_res = pooling.max_pool3d(
+                    grid, kernel_skip, tuple(self.stride_q)
+                )
         else:
             grid_res = grid
 
@@ -699,8 +715,12 @@ class MultiScaleBlock(nn.Module):
         me = mlp(e2, deterministic=deterministic)
         if not self.dim_mul_in_att and self.dim != self.dim_out:
             proj = nn.Dense(self.dim_out, dtype=self.dtype, name="proj")
-            grid = proj(g2f).reshape(gshape2[:4] + (self.dim_out,))
-            extras = proj(e2)
+            grid = proj(
+                g2f.reshape(-1, g2f.shape[-1])
+            ).reshape(gshape2[:4] + (self.dim_out,))
+            extras = proj(
+                e2.reshape(-1, e2.shape[-1])
+            ).reshape(e2.shape[:2] + (self.dim_out,))
 
         rng2 = self.make_rng("dropout") if use_dp else None
         mg, me = _drop_path_pair(mg, me, self.drop_path, rng2, deterministic)

@@ -19,6 +19,12 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        # Dense on rank-2 inputs: XLA-TPU rewrites [B, L, C] dots into 1x1
+        # convolutions whose batch-minor layouts force relayout copies
+        # around the Pallas custom calls (see ops/mm.py); flattening the
+        # leading dims is a free bitcast in the default layout.
+        lead = x.shape[:-1]
+        x = x.reshape(-1, x.shape[-1])
         x = nn.Dense(self.hidden_features, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
         if self.drop_rate > 0.0:
@@ -26,7 +32,7 @@ class Mlp(nn.Module):
         x = nn.Dense(self.out_features, dtype=self.dtype, name="fc2")(x)
         if self.drop_rate > 0.0:
             x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
-        return x
+        return x.reshape(lead + (self.out_features,))
 
 
 def drop_path(

@@ -122,16 +122,22 @@ def _ffn_forward(x, ln_scale, ln_bias, w1, b1, w2, b2,
 
 
 def _ffn_reference(x, ln_scale, ln_bias, w1, b1, w2, b2):
-    """XLA formulation with identical numerics (VJP recompute + fallback)."""
+    """XLA formulation with identical numerics (VJP recompute + fallback).
+
+    Matmuls via mm.dense2d (rank-2): a rank-3 dot becomes a 1x1 conv whose
+    batch-minor layout forces relayout copies around the Pallas calls.
+    """
+    from svit_tpu.ops import mm
+
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     xn = (xf - mean) * jax.lax.rsqrt(var + _EPS) * ln_scale + ln_bias
-    h = jnp.dot(
+    h = mm.dense2d(
         xn.astype(w1.dtype), w1, preferred_element_type=jnp.float32
     ) + b1
     h = jax.nn.gelu(h, approximate=False)
-    y = jnp.dot(
+    y = mm.dense2d(
         h.astype(w2.dtype), w2, preferred_element_type=jnp.float32
     ) + b2
     return y.astype(x.dtype)
@@ -184,11 +190,13 @@ def _ln_dense_forward(x, ln_scale, ln_bias, w, b,
 
 
 def _ln_dense_reference(x, ln_scale, ln_bias, w, b):
+    from svit_tpu.ops import mm
+
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     xn = (xf - mean) * jax.lax.rsqrt(var + _EPS) * ln_scale + ln_bias
-    y = jnp.dot(
+    y = mm.dense2d(
         xn.astype(w.dtype), w, preferred_element_type=jnp.float32
     ) + b
     return y.astype(x.dtype)
@@ -251,13 +259,19 @@ def _ln_qkv_reference(x, ln_scale, ln_bias, wq, bq, wkv, bkv):
     # ONE shared LN feeding both projections (not two _ln_dense_reference
     # calls): this is also the VJP recompute, where a duplicated LN would
     # materialize xn twice and run the LN backward twice in training
+    from svit_tpu.ops import mm
+
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     xn = (xf - mean) * jax.lax.rsqrt(var + _EPS) * ln_scale + ln_bias
     xq = xn.astype(wq.dtype)
-    q = (jnp.dot(xq, wq, preferred_element_type=jnp.float32) + bq).astype(x.dtype)
-    kv = (jnp.dot(xq, wkv, preferred_element_type=jnp.float32) + bkv).astype(x.dtype)
+    q = (
+        mm.dense2d(xq, wq, preferred_element_type=jnp.float32) + bq
+    ).astype(x.dtype)
+    kv = (
+        mm.dense2d(xq, wkv, preferred_element_type=jnp.float32) + bkv
+    ).astype(x.dtype)
     return q, kv
 
 

@@ -187,10 +187,11 @@ def _kernel_strided(
 ):
     """True-strided conv+LN (spatial stride s on H and W).
 
-    The input arrives pre-reshaped [tin, Hq, s, Wq, s*C] with NO W halo pad
-    (the kW//2 left pad sublane-misaligned every row and ran at gather
-    speed in XLA): splitting H into (Hq, s) is a free leading-dim reshape
-    and splitting W into (Wq, s*C) merges the W-parity into the lane axis.
+    The input block is the RAW halo-padded tensor [tin, hq_in*s, Wq*s, C];
+    the parity regroup H->(Hq, s), W->(Wq, s*C) happens IN VMEM (a
+    sublane->lane relayout Mosaic lowers to register shuffles) — as an XLA
+    op it was a full extra HBM pass per pooled tensor (~1.4 ms at stem
+    shapes; the "free reshape" assumption was wrong under tiled layouts).
     A tap at output (t, h, w) with offsets (dt, dh, dw) reads original
     column ``w*s + dw - kW//2 = w*s + o*s + p`` — parity plane p at Wq
     offset ``o``; negative ``o`` (left-halo taps) becomes an in-kernel
@@ -199,8 +200,19 @@ def _kernel_strided(
     lane/sublane relayouts per invocation, and VPU work stays output-sized
     (27 * out elements), not stride-1-sized."""
     kT, kH, kW = kernel
-    x = x_ref[0]                       # [tin, hq_in, s, Wq, s*C]
-    tin, hq_in = x.shape[0], x.shape[1]
+    xr = x_ref[0]
+    if xr.ndim == 4:                   # raw [tin, hq_in*s, Wq*s, C] block
+        # parity regroup in VMEM (C % 128 == 0 only — Mosaic's shape cast
+        # needs a lane-aligned source); as an XLA reshape this cost a full
+        # HBM relayout pass per pooled tensor
+        tin = xr.shape[0]
+        hq_in = xr.shape[1] // s
+        Wq = xr.shape[2] // s
+        x = xr.reshape(tin, hq_in, s, Wq, s * C)
+    else:                              # pre-reshaped [tin, hq_in, s, Wq, s*C]
+        x = xr
+        tin, hq_in = x.shape[0], x.shape[1]
+    del xr
     kv = k_ref[...]
     planes = {}
     for dw in range(kW):
@@ -262,6 +274,7 @@ def _pick_tiles_strided(To, Ho, Wq, w_out, s, C, kernel, itemsize):
         hq_in = hh + (kH - 1) // s
         return (
             2 * tin * hq_in * s * _pad8(Wq) * cp * itemsize      # in x2buf
+            + tin * hq_in * s * _pad8(Wq) * cp * itemsize        # VMEM parity regroup
             + 3 * tin * hq_in * s * wo8 * co * 4                 # f32 parity planes
             + tin * hq_in * s * wo8 * co * 4                     # iota mask (i32)
             + 2 * tt * hh * wo8 * co * itemsize                  # out x2buf
@@ -436,9 +449,14 @@ def _forward_strided(x, kernel_w, ln_scale, ln_bias, kernel, s, head_dim,
         (0, 0),
     ]
     xp = jnp.pad(x, pads)
-    Tp = xp.shape[1]
-    # free reshapes: H -> (Hq, s) and W -> (Wq, s*C)
-    x6 = xp.reshape(B, Tp, Hq, s, Wq, s * C)
+    # The parity regroup H -> (Hq, s), W -> (Wq, s*C) happens inside the
+    # kernel (VMEM) when C is lane-aligned: as an XLA reshape it cost a
+    # full HBM relayout pass.  Mosaic's shape cast rejects non-128-multiple
+    # C (the early 96/192-channel blocks), which keep the XLA reshape.
+    in_kernel_parity = (C % 128 == 0)
+    if not in_kernel_parity:
+        Tp = xp.shape[1]
+        xp = xp.reshape(B, Tp, Hq, s, Wq, s * C)
 
     (t_tile, h_tile), ok = _pick_tiles_strided(
         To, Ho, Wq, W8, s, C, kernel, x.dtype.itemsize
@@ -465,18 +483,28 @@ def _forward_strided(x, kernel_w, ln_scale, ln_bias, kernel, s, head_dim,
     tin = t_tile + kT - 1
     hq_in = h_tile + (kH - 1) // s
 
+    if in_kernel_parity:
+        x_spec = pl.BlockSpec(
+            (
+                _Element(1), _Element(tin), _Element(hq_in * s),
+                _Element(Wq * s), _Element(C),
+            ),
+            lambda b, t, h: (b, t * t_tile, h * h_tile * s, 0, 0),
+        )
+    else:
+        x_spec = pl.BlockSpec(
+            (
+                _Element(1), _Element(tin), _Element(hq_in),
+                _Element(s), _Element(Wq), _Element(s * C),
+            ),
+            lambda b, t, h: (b, t * t_tile, h * h_tile, 0, 0, 0),
+        )
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((B, To, Ho, W8, C), x.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(
-                (
-                    _Element(1), _Element(tin), _Element(hq_in),
-                    _Element(s), _Element(Wq), _Element(s * C),
-                ),
-                lambda b, t, h: (b, t * t_tile, h * h_tile, 0, 0, 0),
-            ),
+            x_spec,
             pl.BlockSpec((kT * kH * kW, C), lambda b, t, h: (0, 0)),
             pl.BlockSpec((C, heads), lambda b, t, h: (0, 0)),
             pl.BlockSpec((heads, C), lambda b, t, h: (0, 0)),
@@ -487,7 +515,7 @@ def _forward_strided(x, kernel_w, ln_scale, ln_bias, kernel, s, head_dim,
             (1, t_tile, h_tile, W8, C), lambda b, t, h: (b, t, h, 0, 0)
         ),
         interpret=interpret,
-    )(x6, kf, s_mat, st_mat, ls, lb)
+    )(xp, kf, s_mat, st_mat, ls, lb)
     if W8 != Wo:
         out = out[:, :, :, :Wo, :]
     return out
@@ -549,6 +577,188 @@ def pool_ln_reference(x, kernel_w, ln_scale, ln_bias, kernel, stride,
         lb = lb.reshape(h, head_dim)
     o = (yf - mean) * jax.lax.rsqrt(var + _EPS) * ls + lb
     return o.astype(x.dtype).reshape(B, To, Ho, Wo, C)
+
+
+# ---------------------------------------------------------------------------
+# Strided max pool (the MultiScaleBlock residual-skip pool_skip, reference
+# attention.py:503-505).  XLA's reduce_window prefers batch-second-minor
+# layouts ({4,0,3,2,1}) on TPU and layout assignment then drags the whole
+# residual stream through relayout copies at every Pallas-call boundary;
+# a tap-formulated XLA rewrite was measured WORSE (strided slices run at
+# gather speed, +12 ms/fwd).  This kernel reuses the strided parity-plane
+# machinery with a max accumulator; halos are -inf so padding never wins.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_strided_max(
+    x_ref, o_ref,
+    *, kernel: Triple, s: int, t_tile: int, h_tile: int, w_out: int,
+    C: int, interpret: bool = False,
+):
+    kT, kH, kW = kernel
+    xr = x_ref[0]
+    if xr.ndim == 4:                   # raw block; parity regroup in VMEM
+        tin = xr.shape[0]
+        hq_in = xr.shape[1] // s
+        x = xr.reshape(tin, hq_in, s, xr.shape[2] // s, s * C)
+    else:
+        x = xr
+        tin, hq_in = x.shape[0], x.shape[1]
+    del xr
+    neg = np.float32(-np.inf)
+    planes = {}
+    for dw in range(kW):
+        a = dw - kW // 2
+        o, p = a // s, a % s
+        if (o, p) not in planes:
+            if o >= 0:
+                planes[(o, p)] = jax.lax.slice(
+                    x,
+                    (0, 0, 0, o, p * C),
+                    (tin, hq_in, s, o + w_out, p * C + C),
+                ).astype(jnp.float32)
+            else:
+                base = jax.lax.slice(
+                    x,
+                    (0, 0, 0, 0, p * C),
+                    (tin, hq_in, s, w_out, p * C + C),
+                ).astype(jnp.float32)
+                r = _roll_w(base, -o, 3, interpret)
+                wi = jax.lax.broadcasted_iota(jnp.int32, r.shape, 3)
+                planes[(o, p)] = jnp.where(wi < -o, jnp.full_like(r, neg), r)
+    acc = jnp.full((t_tile, h_tile, w_out, C), neg, jnp.float32)
+    for dt in range(kT):
+        for dh in range(kH):
+            for dw in range(kW):
+                a = dw - kW // 2
+                pl_ = planes[(a // s, a % s)]
+                tap = jax.lax.slice(
+                    pl_,
+                    (dt, dh // s, dh % s, 0, 0),
+                    (dt + t_tile, dh // s + h_tile, dh % s + 1, w_out, C),
+                ).reshape(t_tile, h_tile, w_out, C)
+                acc = jnp.maximum(acc, tap)
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def _forward_strided_max(x, kernel, s: int, interpret: bool):
+    """Pallas strided max pool.  Returns None when no tiling fits (caller
+    falls back to the XLA reduce_window path)."""
+    B, T, H, W, C = x.shape
+    kT, kH, kW = kernel
+    To = _out_size(T, kT, 1)
+    Ho = _out_size(H, kH, s)
+    Wo = _out_size(W, kW, s)
+    W8 = _pad8(Wo)
+    Hp = H + 2 * (kH // 2)
+    Hq = -(-max(Hp, (Ho - 1) * s + kH) // s)
+    omax = (kW - 1 - kW // 2) // s
+    Wq = max(omax + W8, -(-W // s))
+    (t_tile, h_tile), ok = _pick_tiles_strided(
+        To, Ho, Wq, W8, s, C, kernel, x.dtype.itemsize
+    )
+    if not ok:
+        return None
+    pads = [
+        (0, 0),
+        (kT // 2, kT // 2),
+        (kH // 2, Hq * s - H - (kH // 2)),
+        (0, Wq * s - W),
+        (0, 0),
+    ]
+    # -inf fill: max-pool padding must never win (the conv kernels use the
+    # zero fill because zero taps vanish in the FMA; max has no such luck)
+    xp = jnp.pad(x, pads, constant_values=-np.inf)
+    in_kernel_parity = (C % 128 == 0)
+    if not in_kernel_parity:
+        xp = xp.reshape(B, xp.shape[1], Hq, s, Wq, s * C)
+
+    kern = functools.partial(
+        _kernel_strided_max, kernel=kernel, s=s, t_tile=t_tile,
+        h_tile=h_tile, w_out=W8, C=C, interpret=interpret,
+    )
+    grid = (B, To // t_tile, Ho // h_tile)
+    tin = t_tile + kT - 1
+    hq_in = h_tile + (kH - 1) // s
+    if in_kernel_parity:
+        x_spec = pl.BlockSpec(
+            (
+                _Element(1), _Element(tin), _Element(hq_in * s),
+                _Element(Wq * s), _Element(C),
+            ),
+            lambda b, t, h: (b, t * t_tile, h * h_tile * s, 0, 0),
+        )
+    else:
+        x_spec = pl.BlockSpec(
+            (
+                _Element(1), _Element(tin), _Element(hq_in),
+                _Element(s), _Element(Wq), _Element(s * C),
+            ),
+            lambda b, t, h: (b, t * t_tile, h * h_tile, 0, 0, 0),
+        )
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, To, Ho, W8, C), x.dtype),
+        grid=grid,
+        in_specs=[x_spec],
+        out_specs=pl.BlockSpec(
+            (1, t_tile, h_tile, W8, C), lambda b, t, h: (b, t, h, 0, 0)
+        ),
+        interpret=interpret,
+    )(xp)
+    if W8 != Wo:
+        out = out[:, :, :, :Wo, :]
+    return out
+
+
+def fused_pool_max(x, kernel, stride, interpret: Optional[bool] = None):
+    """Strided max pool (torch MaxPool3d semantics, padding k//2).
+
+    Pallas kernel when the shape qualifies (spatial stride s==s>1, temporal
+    stride 1, element-indexed blocks available); XLA reduce_window
+    otherwise.  The VJP recomputes through the XLA reference, so gradient
+    routing (first-match window element on ties) is unchanged.
+    """
+    from svit_tpu.ops import pooling
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    kT, kH, kW = kernel
+    st_, sh, sw = stride
+    if (
+        _Element is None
+        or st_ != 1
+        or sh != sw
+        or sh <= 1
+        or kH != kW
+        or kT % 2 == 0
+    ):
+        return pooling.max_pool3d(x, tuple(kernel), tuple(stride))
+    return _pool_max(tuple(kernel), tuple(stride), bool(interpret), x)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _pool_max(kernel, stride, interpret, x):
+    out = _forward_strided_max(x, kernel, stride[1], interpret)
+    if out is None:
+        from svit_tpu.ops import pooling
+
+        out = pooling.max_pool3d(x, kernel, stride)
+    return out
+
+
+def _pool_max_fwd(kernel, stride, interpret, x):
+    return _pool_max(kernel, stride, interpret, x), x
+
+
+def _pool_max_bwd(kernel, stride, interpret, x, g):
+    from svit_tpu.ops import pooling
+
+    _, vjp = jax.vjp(lambda xx: pooling.max_pool3d(xx, kernel, stride), x)
+    return vjp(g)
+
+
+_pool_max.defvjp(_pool_max_fwd, _pool_max_bwd)
 
 
 # ---------------------------------------------------------------------------

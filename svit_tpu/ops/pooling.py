@@ -144,7 +144,15 @@ depthwise_conv3d.defvjp(_depthwise_fwd, _depthwise_bwd)
 def max_pool3d(
     x: jax.Array, kernel: Triple, stride: Triple
 ) -> jax.Array:
-    """MaxPool3d with padding k//2, floor mode (torch ceil_mode=False). NDHWC."""
+    """MaxPool3d with padding k//2, floor mode (torch ceil_mode=False). NDHWC.
+
+    (XLA reduce_window.  NOTE: on TPU reduce_window prefers
+    batch-second-minor layouts and causes relayout copies around Pallas
+    calls; a tap-formulated XLA rewrite was measured WORSE — strided
+    slices run at gather speed, +12 ms/fwd — so the strided production
+    path uses the Pallas max kernel in pallas_pool.fused_pool_max
+    instead; this remains the reference/fallback.)
+    """
     neg_inf = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return lax.reduce_window(
         x,
