@@ -571,11 +571,7 @@ class MultiScaleBlock(nn.Module):
         # when only the attention consumes the normed stream, the LN is fused
         # into its q/kv matmul prologues instead of materializing gn in HBM.
         ln1_s, ln1_b = _LNParams(self.dim, name="norm1")()
-        fuse_ln1 = (
-            self.use_pallas
-            and not self.separate_qkv
-            and not (self.dim_mul_in_att and self.dim != self.dim_out)
-        )
+        fuse_ln1 = self.use_pallas and not self.separate_qkv
         if fuse_ln1:
             gn, en = grid, extras          # raw; attention applies LN
             ln1 = (ln1_s, ln1_b)
@@ -607,14 +603,35 @@ class MultiScaleBlock(nn.Module):
         )((gn, en), thw, deterministic=deterministic, ln1=ln1)
 
         if self.dim_mul_in_att and self.dim != self.dim_out:
-            # rank-2 inputs: a Dense on [B, L, C] lowers to a 1x1 conv whose
-            # batch-minor layout forces relayouts around the Pallas calls
-            proj = nn.Dense(self.dim_out, dtype=self.dtype, name="proj")
-            gf = gn.reshape(-1, gn.shape[-1])
-            grid = proj(gf).reshape(gn.shape[:4] + (self.dim_out,))
-            extras = proj(
-                en.reshape(-1, en.shape[-1])
-            ).reshape(en.shape[:2] + (self.dim_out,))
+            if ln1 is not None:
+                # gn/en are the RAW streams here (norm1 fused into the
+                # attention's qkv kernel); the grid proj recomputes norm1
+                # inside the LN+dense kernel — a second LN costs nothing
+                # (VMEM) and keeps the big matmul layout-pinned in Pallas
+                # (the XLA dot at stage-transition blocks picked an
+                # M-minor layout and forced ~0.6 ms relayout copies).
+                from svit_tpu.ops import pallas_ffn as pf
+
+                wpj, bpj = _DenseParams(self.dim, self.dim_out, name="proj")()
+                gflat = gn.reshape(
+                    gn.shape[0], -1, gn.shape[-1]
+                ).astype(self.dtype)
+                grid = pf.fused_ln_dense(
+                    gflat, ln1_s, ln1_b, wpj.astype(self.dtype), bpj
+                ).reshape(gn.shape[:4] + (self.dim_out,))
+                enx = _ln_functional(en, ln1_s, ln1_b)
+                extras = mm.dense2d(
+                    enx.astype(self.dtype), wpj.astype(self.dtype), bpj
+                )
+            else:
+                # rank-2 inputs: a Dense on [B, L, C] lowers to a 1x1 conv
+                # whose batch-minor layout forces relayouts (ops/mm.py)
+                proj = nn.Dense(self.dim_out, dtype=self.dtype, name="proj")
+                gf = gn.reshape(-1, gn.shape[-1])
+                grid = proj(gf).reshape(gn.shape[:4] + (self.dim_out,))
+                extras = proj(
+                    en.reshape(-1, en.shape[-1])
+                ).reshape(en.shape[:2] + (self.dim_out,))
 
         # Residual skip path: max-pool the patch grid with kernel s+1 where the
         # q stride is s (reference attention.py:503-505,549-555); extras pass
