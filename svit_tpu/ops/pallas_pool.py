@@ -71,6 +71,18 @@ Triple = Tuple[int, int, int]
 
 _EPS = 1e-6
 _VMEM_BUDGET = 11 * 1024 * 1024
+# Tile-budget note (measured on chip, r4): raising the s1 budget to 24 MB
+# makes the isolated stride-1 pools ~30% faster (fewer halo re-reads) but
+# the END-TO-END fwd is flat and the train step ~7% SLOWER (the bigger
+# bwd-recompute tiles overlap worse) — so both budgets stay at 11 MB.
+# Tiles above Mosaic's default 16 MB scoped-vmem limit would need the
+# explicit vmem_limit_bytes below (kept wired for future tile work).
+_VMEM_BUDGET_S1 = 11 * 1024 * 1024
+_S1_COMPILER_PARAMS = None
+if _pltpu is not None and hasattr(_pltpu, "CompilerParams"):
+    _S1_COMPILER_PARAMS = _pltpu.CompilerParams(
+        vmem_limit_bytes=48 * 1024 * 1024
+    )
 
 
 def _out_size(d: int, k: int, s: int) -> int:
@@ -320,7 +332,7 @@ def _pick_tiles(To, Ho, Wo, C, kernel, itemsize):
     best, best_steps = (1, 1), None
     for tt in (t for t in range(1, To + 1) if To % t == 0):
         for hh in (h for h in range(1, Ho + 1) if Ho % h == 0):
-            if need(tt, hh) > _VMEM_BUDGET:
+            if need(tt, hh) > _VMEM_BUDGET_S1:
                 continue
             steps = (To // tt) * (Ho // hh)
             if best_steps is None or steps < best_steps or (
@@ -393,6 +405,9 @@ def _forward(x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim,
     tin, hin = t_tile + kT - 1, h_tile + kH - 1
     Wp = xp.shape[3]
 
+    extra = {}
+    if not interpret and _S1_COMPILER_PARAMS is not None:
+        extra["compiler_params"] = _S1_COMPILER_PARAMS
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((B, To, Ho, W8, C), x.dtype),
@@ -415,6 +430,7 @@ def _forward(x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim,
             (1, t_tile, h_tile, W8, C), lambda b, t, h: (b, t, h, 0, 0)
         ),
         interpret=interpret,
+        **extra,
     )(xp, kf, s_mat, st_mat, ls, lb)
     if W8 != Wo:
         out = out[:, :, :, :Wo, :]
@@ -934,6 +950,9 @@ def _dk_pallas(x, g, kernel, stride, interpret: bool):
         ]
         operands = (x6, g8)
 
+    extra = {}
+    if not interpret and _S1_COMPILER_PARAMS is not None:
+        extra["compiler_params"] = _S1_COMPILER_PARAMS
     dk = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((kT * kH * kW, W8, C), jnp.float32),
@@ -943,6 +962,7 @@ def _dk_pallas(x, g, kernel, stride, interpret: bool):
             (kT * kH * kW, W8, C), lambda b, t, h: (0, 0, 0)
         ),
         interpret=interpret,
+        **extra,
     )(*operands)
     return dk.sum(axis=1).reshape(kT, kH, kW, 1, C)
 
