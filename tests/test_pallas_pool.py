@@ -138,3 +138,53 @@ def test_bare_conv_fallback_without_element(monkeypatch):
         argnums=(0, 1),
     )(*args)
     assert all(bool(jnp.isfinite(t).all()) for t in g)
+
+
+def test_fused_pool_max_matches_reduce_window():
+    """The Pallas residual-skip max pool (fused_pool_max) must be exactly
+    lax.reduce_window's MaxPool3d (reference attention.py pool_skip):
+    values AND tie-routed gradients (the VJP recomputes through the XLA
+    reference)."""
+    from svit_tpu.ops import pooling
+
+    rs = np.random.RandomState(0)
+    for C in (96, 256):  # non-lane-aligned (XLA parity path) and aligned
+        x = jnp.asarray(rs.randn(2, 4, 12, 12, C), jnp.float32)
+        k, s = (1, 3, 3), (1, 2, 2)
+        a = pp.fused_pool_max(x, k, s)
+        b = pooling.max_pool3d(x, k, s)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        ga = jax.grad(lambda x: (pp.fused_pool_max(x, k, s) ** 2).sum())(x)
+        gb = jax.grad(lambda x: (pooling.max_pool3d(x, k, s) ** 2).sum())(x)
+        np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
+
+
+def test_fused_pool_max_unsupported_shapes_fall_back():
+    """Temporal stride / uneven spatial strides route to reduce_window."""
+    from svit_tpu.ops import pooling
+
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(1, 4, 8, 8, 16), jnp.float32)
+    for k, s in (((3, 3, 3), (2, 2, 2)), ((1, 3, 3), (1, 2, 1))):
+        a = pp.fused_pool_max(x, k, s)
+        b = pooling.max_pool3d(x, k, s)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_strided_pool_lane_aligned_parity_path():
+    """C % 128 == 0 takes the in-kernel VMEM parity regroup; C % 128 != 0
+    keeps the XLA parity reshape.  Both must match the reference exactly
+    (the regroup is a pure relayout)."""
+    rs = np.random.RandomState(2)
+    for C, hd in ((128, 32), (96, 24)):
+        x = rs.randn(2, 4, 16, 16, C).astype(np.float32)
+        kw = (rs.randn(*KERNEL, 1, C) * 0.1).astype(np.float32)
+        ls = rs.randn(hd).astype(np.float32)
+        lb = rs.randn(hd).astype(np.float32)
+        args = tuple(jnp.asarray(a) for a in (x, kw, ls, lb))
+        stride = (1, 2, 2)
+        out = pp.fused_pool_ln(*args, KERNEL, stride, hd)
+        ref = pp.pool_ln_reference(*args, KERNEL, stride, hd)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-5
+        )
