@@ -492,44 +492,88 @@ class MultiScaleAttention(nn.Module):
             )
 
         # Extras (cls + object) queries: zero rel-pos bias (reference only
-        # biases the patch block) — a tiny plain attention over the same K/V
-        # (the K/V head split here is a transpose of the small pooled keys).
-        qe_h = (qe * scale).reshape(B, E, heads, head_dim).transpose(0, 2, 1, 3)
-        kh = (
-            kv_all[..., :dim_out]
-            .reshape(B, n_k, heads, head_dim).transpose(0, 2, 1, 3)
-        )
-        vh = (
-            kv_all[..., dim_out:]
-            .reshape(B, n_k, heads, head_dim).transpose(0, 2, 1, 3)
-        )
-        logits_e = jnp.einsum(
-            "bhed,bhkd->bhek", qe_h, kh, preferred_element_type=jnp.float32
-        )
-        pe = jax.nn.softmax(logits_e, axis=-1)
-        oe = jnp.einsum(
-            "bhek,bhkd->bhed", pe.astype(vh.dtype), vh,
-            preferred_element_type=jnp.float32,
-        ).astype(self.dtype)
-
-        if self.residual_pooling:
-            # Reference attention.py:455-459: add pooled q to all but the cls
-            # row — the grid rows are handled inside the attention epilogue
-            # (q_residual); only the object rows of extras remain.
-            qe_res = qe.reshape(B, E, heads, head_dim).transpose(0, 2, 1, 3)
-            if self.has_cls:
+        # biases the patch block) — they attend over the same K/V.
+        if self.use_pallas:
+            # Same fused kernel, second launch: bias rows are zeros except
+            # the mask channel (junk padded keys still need their -inf), so
+            # the scatter-matmul contributes exactly 0 rel-pos bias.  This
+            # replaces ~15 small XLA ops per block (head-split transposes,
+            # logits/softmax/out einsums, proj) with one kernel call, and
+            # the bwd runs the same Pallas attention bwd as the grid.
+            bias_e = jnp.concatenate(
+                [
+                    jnp.zeros(
+                        (B, heads, E, bias_src.shape[-1] - 1),
+                        bias_src.dtype,
+                    ),
+                    jnp.ones((B, heads, E, 1), bias_src.dtype),
+                ],
+                axis=-1,
+            )
+            oe = pa.fused_attention_proj(
+                qe.astype(self.dtype), kv_all, bias_e, scatter,
+                wp.astype(self.dtype), bp, scale, heads,
+                self.residual_pooling,
+            )
+            if self.residual_pooling and self.has_cls:
+                # reference adds the q residual to all but the cls row
+                # (attention.py:455-459); the kernel adds it to every row,
+                # so remove the cls row's q contribution post-projection
                 oe = jnp.concatenate(
-                    [oe[:, :, :1], oe[:, :, 1:] + qe_res[:, :, 1:]], axis=2
+                    [
+                        oe[:, :1]
+                        - mm.dense2d(
+                            qe[:, :1].astype(self.dtype),
+                            wp.astype(self.dtype),
+                        ),
+                        oe[:, 1:],
+                    ],
+                    axis=1,
                 )
-            else:
-                oe = oe + qe_res
+        else:
+            qe_h = (
+                (qe * scale)
+                .reshape(B, E, heads, head_dim).transpose(0, 2, 1, 3)
+            )
+            kh = (
+                kv_all[..., :dim_out]
+                .reshape(B, n_k, heads, head_dim).transpose(0, 2, 1, 3)
+            )
+            vh = (
+                kv_all[..., dim_out:]
+                .reshape(B, n_k, heads, head_dim).transpose(0, 2, 1, 3)
+            )
+            logits_e = jnp.einsum(
+                "bhed,bhkd->bhek", qe_h, kh,
+                preferred_element_type=jnp.float32,
+            )
+            pe = jax.nn.softmax(logits_e, axis=-1)
+            oe = jnp.einsum(
+                "bhek,bhkd->bhed", pe.astype(vh.dtype), vh,
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype)
 
-        # og is already channel-flat [B, q_l, dim_out] and projected; only
-        # the tiny extras output needs its head axis folded back + proj.
-        oe = oe.transpose(0, 2, 1, 3).reshape(B, E, dim_out)
-        oe = mm.dense2d(
-            oe.astype(self.dtype), wp.astype(self.dtype), bp
-        )
+            if self.residual_pooling:
+                # Reference attention.py:455-459: add pooled q to all but
+                # the cls row — grid rows are handled inside the attention
+                # epilogue (q_residual); only extras' object rows remain.
+                qe_res = (
+                    qe.reshape(B, E, heads, head_dim).transpose(0, 2, 1, 3)
+                )
+                if self.has_cls:
+                    oe = jnp.concatenate(
+                        [oe[:, :, :1], oe[:, :, 1:] + qe_res[:, :, 1:]],
+                        axis=2,
+                    )
+                else:
+                    oe = oe + qe_res
+
+            # og is already channel-flat and projected; only the tiny
+            # extras output needs its head axis folded back + proj.
+            oe = oe.transpose(0, 2, 1, 3).reshape(B, E, dim_out)
+            oe = mm.dense2d(
+                oe.astype(self.dtype), wp.astype(self.dtype), bp
+            )
         if self.drop_rate > 0.0:
             drop = nn.Dropout(self.drop_rate)
             og = drop(og, deterministic=deterministic)

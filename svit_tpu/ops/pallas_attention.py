@@ -34,6 +34,27 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
+try:
+    from jax.experimental.pallas import tpu as _pltpu
+except ImportError:  # pragma: no cover
+    _pltpu = None
+
+# Mosaic's default scoped-vmem limit is 16 MB; the attention blocks are
+# tile-budgeted to fit it, but marginal shapes (e.g. the 65-row extras
+# launch against block-14's [1664, 1536] resident kv) can land a few MB
+# over.  v5e has 128 MB of VMEM — raise the cap rather than shrink tiles.
+_COMPILER_PARAMS = None
+if _pltpu is not None and hasattr(_pltpu, "CompilerParams"):
+    _COMPILER_PARAMS = _pltpu.CompilerParams(
+        vmem_limit_bytes=64 * 1024 * 1024
+    )
+
+
+def _cp_kwargs(interpret: bool):
+    if interpret or _COMPILER_PARAMS is None:
+        return {}
+    return {"compiler_params": _COMPILER_PARAMS}
+
 NEG_INF = -1e30
 
 
@@ -271,6 +292,7 @@ def pooled_attention(
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, q_tile, C), lambda b, i: (b, i, 0)),
         interpret=interpret,
+        **_cp_kwargs(interpret),
     )(*operands)
     if _fault_injected():
         # emulate a lane-offset miscompile (shifted channel reads) — an
@@ -447,6 +469,7 @@ def pooled_attention_bwd(
             pl.BlockSpec((1, heads, q_tile, R), lambda b, i: (b, 0, i, 0)),
         ),
         interpret=interpret,
+        **_cp_kwargs(interpret),
     )(q, kv, bias_src, scatter, do)
     return (
         dq[:, :Nq],
