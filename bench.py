@@ -128,11 +128,14 @@ def measure_tpu_forward(cfg, model, params):
     mfu = (flops / dt) / V5E_BF16_PEAK if flops else None
     mfu_xla = (flops_xla / dt) / V5E_BF16_PEAK if flops_xla else None
 
-    # p50 per-clip latency at batch 1 (each iter fetched -> true latency)
+    # p50 per-clip latency at batch 1 (each iter fetched -> true latency);
+    # 2 warmups + 11 samples: the tunnel adds multi-ms jitter and 5 samples
+    # bounced the reported p50 between 33 and 41 ms across runs
     x1 = x[:1]
-    _ = float(fwd(params, x1, jnp.float32(0)).mean())
+    for _ in range(2):
+        _ = float(fwd(params, x1, jnp.float32(0)).mean())
     lat_times = []
-    for _ in range(5):
+    for _ in range(11):
         t0 = time.perf_counter()
         _ = float(fwd(params, x1, jnp.float32(0)).mean())
         lat_times.append(time.perf_counter() - t0)
