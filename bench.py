@@ -13,7 +13,7 @@ Prints ONE JSON line:
   peak (197 TFLOP/s), with FLOPs from the analytic model
   (``svit_tpu/utils/flops.py`` — XLA's cost analysis cannot see inside the
   Pallas custom calls and undercounts ~3x; its number is kept as
-  ``mfu_*_xla`` cross-check fields).
+  ``mfu_*_xla_excl_pallas`` fields, valid only for the pure-XLA ablation).
 - Baseline = the PyTorch reference model forward on this host's CPU,
   batch-matched and averaged over iterations (cached in
   ``.bench_baseline.json``; delete the file to re-measure).  NOTE: this is a
@@ -33,6 +33,11 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
+# Tracked artifact holding the latest REAL hardware gate report.  Tests that
+# exercise run_gate_subprocess with mocked child output MUST monkeypatch this
+# to a tmp path — a round-4 advisor finding caught the unit test clobbering
+# the genuine hardware record at this path.
+GATE_ARTIFACT = os.path.join(REPO, "docs", "KERNEL_GATE_latest.json")
 BATCH = 16
 ITERS = 20
 TRAIN_BATCH_VIDEO = 8
@@ -139,8 +144,16 @@ def measure_tpu_forward(cfg, model, params):
         t0 = time.perf_counter()
         _ = float(fwd(params, x1, jnp.float32(0)).mean())
         lat_times.append(time.perf_counter() - t0)
-    p50_ms = sorted(lat_times)[len(lat_times) // 2] * 1000
-    return clips_per_sec, p50_ms, mfu, mfu_xla
+    lat_ms = sorted(t * 1000 for t in lat_times)
+    p50 = {
+        "p50_ms": lat_ms[len(lat_ms) // 2],
+        # tunnel jitter bounced 5-sample p50s between 33 and 41 ms across
+        # runs (commit 3c660cf); the spread makes that visible in the JSON
+        "min_ms": lat_ms[0],
+        "max_ms": lat_ms[-1],
+        "n": len(lat_ms),
+    }
+    return clips_per_sec, p50, mfu, mfu_xla
 
 
 def measure_tpu_train(cfg, model, params):
@@ -222,14 +235,20 @@ RECORDED_CPU_CLIPS_PER_SEC = 0.0908
 
 
 def measure_torch_cpu_baseline():
-    """Reference model forward on CPU — batch-matched, averaged (cached)."""
+    """Reference model forward on CPU — batch-matched, averaged (cached).
+
+    Returns ``(clips_per_sec, source)`` where ``source`` records the
+    provenance of the number ("cached" | "recorded-r1r3" | "measured" |
+    "estimate-after-failure") so the emitted ``vs_baseline`` ratio is
+    self-describing.
+    """
     if os.path.isfile(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             cached = json.load(f)
             if cached.get("batch") == BATCH:
-                return cached["cpu_clips_per_sec"]
+                return cached["cpu_clips_per_sec"], "cached"
     if os.environ.get("SVIT_BENCH_MEASURE_BASELINE", "0") != "1":
-        return RECORDED_CPU_CLIPS_PER_SEC
+        return RECORDED_CPU_CLIPS_PER_SEC, "recorded-r1r3"
     try:
         sys.path.insert(0, os.path.join(REPO, "tests", "refshim"))
         sys.path.insert(0, "/root/reference")
@@ -251,14 +270,14 @@ def measure_torch_cpu_baseline():
             for _ in range(iters):
                 m([x], {})
             dt = (time.perf_counter() - t0) / iters
-        result = BATCH / dt
+        result, source = BATCH / dt, "measured"
     except Exception as e:
         print(f"baseline measurement failed ({e}); using recorded value",
               file=sys.stderr)
-        result = 0.5  # conservative torch-CPU estimate
+        result, source = 0.5, "estimate-after-failure"
     with open(BASELINE_CACHE, "w") as f:
         json.dump({"cpu_clips_per_sec": result, "batch": BATCH}, f)
-    return result
+    return result, source
 
 
 def run_gate_subprocess(timeout_s: float):
@@ -291,8 +310,7 @@ def run_gate_subprocess(timeout_s: float):
             report = None
         if report is not None:
             try:
-                with open(os.path.join(
-                        REPO, "docs", "KERNEL_GATE_latest.json"), "w") as f:
+                with open(GATE_ARTIFACT, "w") as f:
                     json.dump(report, f, indent=1)
             except OSError:
                 pass
@@ -316,7 +334,9 @@ def _on_term(signum, frame):
     if _RESULT.get("value"):
         _RESULT.setdefault("note", "terminated before completion")
         _emit()
-    os._exit(0)
+    # conventional signal exit code: the partial JSON is flushed above, but
+    # rc-based harnesses must still see that the run was terminated
+    os._exit(128 + 15)
 
 
 def main():
@@ -331,23 +351,31 @@ def main():
 
     # 1) PRIMARY metric first — nothing may run before it.
     print("bench: forward...", file=sys.stderr, flush=True)
-    clips_per_sec, p50_ms, mfu_fwd, mfu_fwd_xla = measure_tpu_forward(
+    clips_per_sec, p50, mfu_fwd, mfu_fwd_xla = measure_tpu_forward(
         cfg, model, params
     )
-    baseline = measure_torch_cpu_baseline()
+    baseline, baseline_source = measure_torch_cpu_baseline()
     _RESULT.update({
         "metric": "clips/sec/chip (16f x 224 SViT-B, bf16 fwd, "
-        f"batch {BATCH}; p50 latency {p50_ms:.1f} ms/clip @ bs1)",
+        f"batch {BATCH}; p50 latency {p50['p50_ms']:.1f} ms/clip @ bs1)",
         "value": round(clips_per_sec, 2),
         "unit": "clips/s",
         # CPU smoke comparison only — see module docstring.
         "vs_baseline": round(clips_per_sec / baseline, 2),
-        "p50_ms_bs1": round(p50_ms, 2),
+        "baseline_source": baseline_source,
+        "p50_ms_bs1": round(p50["p50_ms"], 2),
+        "p50_spread_bs1": {
+            k: round(v, 2) if isinstance(v, float) else v
+            for k, v in p50.items() if k != "p50_ms"
+        },
     })
     if mfu_fwd:
         _RESULT["mfu_fwd"] = round(mfu_fwd, 4)
     if mfu_fwd_xla:
-        _RESULT["mfu_fwd_xla"] = round(mfu_fwd_xla, 4)
+        # XLA cost analysis cannot see FLOPs inside Pallas custom calls —
+        # on the Pallas path this is a gross undercount, kept only for the
+        # pure-XLA ablation.  The field name says so.
+        _RESULT["mfu_fwd_xla_excl_pallas"] = round(mfu_fwd_xla, 4)
     _emit()  # perf record secured; everything below only enriches it
 
     # 2) Train step.
@@ -366,7 +394,7 @@ def main():
         if mfu_train:
             _RESULT["mfu_train"] = round(mfu_train, 4)
         if mfu_train_xla:
-            _RESULT["mfu_train_xla"] = round(mfu_train_xla, 4)
+            _RESULT["mfu_train_xla_excl_pallas"] = round(mfu_train_xla, 4)
     _emit()
 
     # 3) Kernel numerics gate, time-boxed (a wrong-answer kernel must be

@@ -170,12 +170,15 @@ class ValMeter:
         self.min_top1_err = 100.0
         self.min_top5_err = 100.0
         self.extra = MultiLossMeter(cfg.LOG_PERIOD)
+        # multitask: per-task weighted correct counts {name: [c1, c5]}
+        self.task_correct = {}
 
     def reset(self):
         self.num_top1_correct = 0.0
         self.num_top5_correct = 0.0
         self.num_samples = 0.0
         self.extra.reset()
+        self.task_correct = {}
 
     def iter_tic(self):
         self.iter_timer.reset()
@@ -183,10 +186,19 @@ class ValMeter:
     def iter_toc(self):
         self.iter_timer.pause()
 
-    def update_stats(self, top1_correct, top5_correct, count, extra=None):
+    def update_stats(self, top1_correct, top5_correct, count, extra=None,
+                     task_correct=None):
+        """``task_correct`` (multitask): {task: (c1, c5)} weighted correct
+        counts; the primary top1/top5 slots then carry the JOINT (action)
+        counts — reference EPIC protocol, ``tools/train_net.py:275-300``."""
         self.num_top1_correct += float(top1_correct)
         self.num_top5_correct += float(top5_correct)
         self.num_samples += float(count)
+        if task_correct:
+            for name, (c1, c5) in task_correct.items():
+                acc = self.task_correct.setdefault(name, [0.0, 0.0])
+                acc[0] += float(c1)
+                acc[1] += float(c5)
         if extra:
             self.extra.update(extra)
 
@@ -220,6 +232,15 @@ class ValMeter:
             "min_top1_err": self.min_top1_err,
             "min_top5_err": self.min_top5_err,
         }
+        if self.task_correct:
+            # reference EPIC logging names: {task}_top{k}_acc per task plus
+            # action_top{k}_acc for the joint metric (train_net.py:296-313)
+            n = max(self.num_samples, 1)
+            for name, (c1, c5) in self.task_correct.items():
+                stats[f"{name}_top1_acc"] = c1 / n * 100
+                stats[f"{name}_top5_acc"] = c5 / n * 100
+            stats["action_top1_acc"] = self.num_top1_correct / n * 100
+            stats["action_top5_acc"] = self.num_top5_correct / n * 100
         stats.update(self.extra.get_global_avgs())
         logging.log_json_stats(stats)
         return stats

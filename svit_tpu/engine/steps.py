@@ -165,9 +165,19 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(model, num_classes: int, loss_obj=None,
+def make_eval_step(model, num_classes, loss_obj=None,
                    with_consistency: bool = False):
     """Eval: logits (softmax'd — eval head act) + weighted top-1/5 counts.
+
+    ``num_classes`` is an int, or the arch's multitask tuple
+    ``(("verb", nv), ("noun", nn), ...)`` — then ``batch["labels"]`` is a
+    dict of per-task label arrays and the step reports per-task weighted
+    top-1/5 counts plus the JOINT counts (a sample is jointly correct at k
+    iff every task is correct within its own top-k — the reference's
+    EPIC-Kitchens "action" protocol, ``tools/train_net.py:249-315`` /
+    ``utils/metrics.py:78-118``, pinned by
+    ``tests/test_multitask.py::test_multitask_topk_joint_correctness``).
+    The joint counts ride in the primary top1/top5 slots.
 
     With ``loss_obj`` the step also reports the full val loss dict the
     reference logs (``eval_extra_metrics``, ``slowfast/utils/meters.py:
@@ -176,29 +186,65 @@ def make_eval_step(model, num_classes: int, loss_obj=None,
     ``loss_ce`` + the consistency losses (with a frames forward,
     ``train_net.py:243-248``) + the lambda-weighted ``loss`` total.
     """
+    multitask = not isinstance(num_classes, int)
+
+    def _nll(raw, labels, n, w):
+        # log_softmax on pre-activation logits is the numerically stable
+        # form (log(softmax(x)) prints inf for a confident-wrong bf16
+        # prediction).
+        safe = jnp.clip(labels, 0, max(n - 1, 0))
+        logp = jax.nn.log_softmax(raw.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, safe[:, None], axis=-1)[:, 0]
+        return (nll * w).sum() / jnp.maximum(w.sum(), 1.0)
 
     def eval_step(params, batch):
         logits, extra = model.apply(
             {"params": params}, batch["clips"], deterministic=True
         )
+        labels = batch["labels"]
         w = batch.get("weight")
         if w is None:
-            w = jnp.ones(logits.shape[0], jnp.float32)
+            first = logits[num_classes[0][0]] if multitask else logits
+            w = jnp.ones(first.shape[0], jnp.float32)
+        if multitask:
+            raw = extra.get("raw_logits", logits)
+            joint1 = joint5 = None
+            per_task = {}
+            val_loss = 0.0
+            for name, n in num_classes:
+                k5 = min(5, n)
+                _, top5 = jax.lax.top_k(logits[name], k5)
+                corr = top5 == labels[name][:, None]
+                cum = jnp.cumsum(corr, axis=1) > 0  # correct within top-k
+                c1b, c5b = cum[:, 0], cum[:, -1]
+                per_task[name] = ((c1b * w).sum(), (c5b * w).sum())
+                joint1 = c1b if joint1 is None else joint1 & c1b
+                joint5 = c5b if joint5 is None else joint5 & c5b
+                val_loss = val_loss + _nll(raw[name], labels[name], n, w)
+            out = {
+                "logits": logits,
+                "top1_correct": (joint1 * w).sum(),
+                "top5_correct": (joint5 * w).sum(),
+                "count": w.sum(),
+                "loss_ce": val_loss,
+            }
+            for name, (c1, c5) in per_task.items():
+                out[f"{name}_top1_correct"] = c1
+                out[f"{name}_top5_correct"] = c5
+            if loss_obj is not None:
+                out["loss"] = loss_obj.weighted_sum({"loss_ce": val_loss})
+            return out
+
         k1 = min(1, num_classes)
         k5 = min(5, num_classes)
         _, top5 = jax.lax.top_k(logits, k5)
-        correct = top5 == batch["labels"][:, None]
+        correct = top5 == labels[:, None]
         c1 = (correct[:, :k1].any(axis=1) * w).sum()
         c5 = (correct.any(axis=1) * w).sum()
         # eval-mode loss (reference re-runs the loss fn at val,
-        # meters.py:869-883); log_softmax on pre-activation logits is the
-        # numerically stable form (log(softmax(x)) prints inf for a
-        # confident-wrong bf16 prediction).
-        safe = jnp.clip(batch["labels"], 0, max(num_classes - 1, 0))
-        raw = extra.get("raw_logits", logits)
-        logp = jax.nn.log_softmax(raw.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(logp, safe[:, None], axis=-1)[:, 0]
-        val_loss = (nll * w).sum() / jnp.maximum(w.sum(), 1.0)
+        # meters.py:869-883)
+        val_loss = _nll(extra.get("raw_logits", logits), labels,
+                        num_classes, w)
         out = {
             "logits": logits,
             "top1_correct": c1,

@@ -89,13 +89,14 @@ class Trainer:
             ),
             donate_argnums=(0,),
         )
-        nc = self.arch.num_classes if isinstance(self.arch.num_classes, int) else 0
         # full val loss dict (VERDICT r2 item 7): pass the loss object when
         # it is the dict-producing kind so val logs carry the same loss keys
-        # as train (reference eval_extra_metrics, meters.py:869-883)
+        # as train (reference eval_extra_metrics, meters.py:869-883).
+        # num_classes passes through as-is: the multitask tuple selects the
+        # per-task + joint top-k eval protocol inside the step.
         val_loss_obj = self.loss_obj if hasattr(self.loss_obj, "weighted_sum") else None
         self.eval_jit = jax.jit(steps.make_eval_step(
-            self.model, nc, loss_obj=val_loss_obj,
+            self.model, self.arch.num_classes, loss_obj=val_loss_obj,
             with_consistency=with_consistency,
         ))
         self.image_val_loader = None
@@ -407,9 +408,22 @@ def eval_epoch(cfg, trainer, state, val_meter, cur_epoch):
         vb = trainer.put_batch(vb)
         val_meter.iter_tic()
         out = jax.device_get(trainer.eval_jit(params, vb))
+        # multitask: per-task weighted correct-counts ride alongside the
+        # joint (action) counts and get their own meter accounting
+        task_correct = {
+            k[: -len("_top1_correct")]: (
+                float(v), float(out[k[: -len("_top1_correct")] + "_top5_correct"])
+            )
+            for k, v in out.items() if k.endswith("_top1_correct")
+        }
         val_meter.update_stats(
             out["top1_correct"], out["top5_correct"], out["count"],
-            extra={k: float(v) for k, v in out.items() if k not in _skip},
+            extra={
+                k: float(v) for k, v in out.items()
+                if k not in _skip and not k.endswith(("_top1_correct",
+                                                      "_top5_correct"))
+            },
+            task_correct=task_correct or None,
         )
         val_meter.iter_toc()
         val_meter.log_iter_stats(cur_epoch, cur_iter)

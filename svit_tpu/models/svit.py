@@ -249,12 +249,17 @@ class SViTHead(nn.Module):
         nc = arch.num_classes
         if isinstance(nc, tuple):  # multitask (e.g. EPIC-Kitchens verb/noun)
             logits = {}
+            raw = {}
             for name, n in nc:
                 out = nn.Dense(n, dtype=self.dtype, name=f"projection_{name}")(cls_tok)
+                raw[name] = out
                 if deterministic:
                     out = _head_act(out, arch.head_act)
                 logits[name] = out
             extra_preds.update(logits)
+            # per-task pre-activation logits for stable eval losses (same
+            # rationale as the single-task raw_logits below)
+            extra_preds["raw_logits"] = raw
         elif nc == 0:
             logits = jnp.zeros(cls_tok.shape[:-1] + (0,), dtype=cls_tok.dtype)
         else:

@@ -17,7 +17,7 @@ sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
 import bench  # noqa: E402
 
 
-def test_gate_subprocess_parses_report(monkeypatch):
+def test_gate_subprocess_parses_report(tmp_path, monkeypatch):
     report = {"ok": True, "bwd.grads_global": {"err_pallas_vs_f32": 1e-3}}
 
     def fake_run(cmd, capture_output, text, timeout):
@@ -28,9 +28,14 @@ def test_gate_subprocess_parses_report(monkeypatch):
         return R()
 
     monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    # NEVER the tracked docs/ path: this test once clobbered the genuine
+    # hardware gate record (round-4 advisor high finding)
+    artifact = tmp_path / "gate.json"
+    monkeypatch.setattr(bench, "GATE_ARTIFACT", str(artifact))
     got = bench.run_gate_subprocess(10)
     assert got["ok"] is True
     assert got["bwd.grads_global"]["err_pallas_vs_f32"] == 1e-3
+    assert json.loads(artifact.read_text())["ok"] is True
 
 
 def test_gate_subprocess_timeout_is_nonfatal(monkeypatch):
@@ -57,18 +62,21 @@ def test_baseline_never_remeasures_by_default(tmp_path, monkeypatch):
     # no cache file + no opt-in env -> the recorded constant, instantly
     monkeypatch.setattr(bench, "BASELINE_CACHE", str(tmp_path / "none.json"))
     monkeypatch.delenv("SVIT_BENCH_MEASURE_BASELINE", raising=False)
-    assert bench.measure_torch_cpu_baseline() == bench.RECORDED_CPU_CLIPS_PER_SEC
+    assert bench.measure_torch_cpu_baseline() == (
+        bench.RECORDED_CPU_CLIPS_PER_SEC, "recorded-r1r3"
+    )
 
 
 def test_baseline_cache_roundtrip(tmp_path, monkeypatch):
     cache = tmp_path / "cache.json"
     cache.write_text(json.dumps({"cpu_clips_per_sec": 0.25, "batch": bench.BATCH}))
     monkeypatch.setattr(bench, "BASELINE_CACHE", str(cache))
-    assert bench.measure_torch_cpu_baseline() == 0.25
+    assert bench.measure_torch_cpu_baseline() == (0.25, "cached")
 
 
 def test_sigterm_handler_flushes_partial_result(capsys, monkeypatch):
-    monkeypatch.setattr(bench.os, "_exit", lambda code: None)
+    codes = []
+    monkeypatch.setattr(bench.os, "_exit", codes.append)
     bench._RESULT.clear()
     bench._RESULT.update({"metric": "m", "value": 123.0, "unit": "clips/s"})
     bench._on_term(15, None)
@@ -76,6 +84,8 @@ def test_sigterm_handler_flushes_partial_result(capsys, monkeypatch):
     parsed = json.loads(out)
     assert parsed["value"] == 123.0
     assert parsed["note"] == "terminated before completion"
+    # partial JSON is flushed, but the rc still says "terminated" (143)
+    assert codes == [143]
     bench._RESULT.clear()
 
 
