@@ -188,7 +188,11 @@ class _PoolPath(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, grid, extras):
+    def __call__(self, grid, extras, w_true: int = None):
+        """``w_true``: true width of a W8-carried ``grid`` (None = exact).
+        On the Pallas path the pooled grid comes back W8-carried
+        (``keep_pad``) so the downstream flat reshapes stay bitcasts."""
+        carried = w_true is not None and w_true < grid.shape[3]
         if self.mode == "conv":
             conv_kernel = self.param(
                 "pool_kernel",
@@ -214,9 +218,12 @@ class _PoolPath(nn.Module):
                 grid = pallas_pool.fused_pool_ln(
                     grid, conv_kernel, ln_s, ln_b,
                     tuple(self.kernel), tuple(self.stride), self.head_dim,
+                    w_true, self.use_pallas,
                 )
                 extras = _grouped_ln_apply(extras, ln_s, ln_b, self.head_dim)
             else:
+                if carried:  # ablation path (POOL_PALLAS off): exact-extent
+                    grid = grid[:, :, :, :w_true]
                 grid = pooling.depthwise_conv3d(
                     grid, conv_kernel, tuple(self.stride)
                 )
@@ -225,10 +232,19 @@ class _PoolPath(nn.Module):
                 )
                 grid = norm(grid)
                 extras = norm(extras)
-        elif self.mode == "max":
-            grid = pooling.max_pool3d(grid, tuple(self.kernel), tuple(self.stride))
-        elif self.mode == "avg":
-            grid = pooling.avg_pool3d(grid, tuple(self.kernel), tuple(self.stride))
+                if self.use_pallas:  # stay carried for the fused attention
+                    from svit_tpu.ops.pallas_pool import _carry_pad
+
+                    grid = _carry_pad(grid, True)
+        elif self.mode in ("max", "avg"):
+            if carried:
+                grid = grid[:, :, :, :w_true]
+            pool = pooling.max_pool3d if self.mode == "max" else pooling.avg_pool3d
+            grid = pool(grid, tuple(self.kernel), tuple(self.stride))
+            if self.use_pallas:
+                from svit_tpu.ops.pallas_pool import _carry_pad
+
+                grid = _carry_pad(grid, True)
         else:
             raise NotImplementedError(f"Unsupported pool mode {self.mode}")
         return grid, extras
@@ -350,6 +366,15 @@ class MultiScaleAttention(nn.Module):
         pool_q_on = _needs_pool(self.kernel_q, self.stride_q)
         pool_kv_on = _needs_pool(self.kernel_kv, self.stride_kv)
 
+        def pooled_true(kernel, stride):
+            # TRUE pooled token grid (torch pool semantics, padding k//2) —
+            # under the W8-carry the arrays may be wider than this
+            from svit_tpu.ops.pallas_pool import _out_size
+
+            return tuple(
+                _out_size(d, k, s) for d, k, s in zip(thw, kernel, stride)
+            )
+
         q_shape = thw
         if pool_q_on:
             qg, qe = _PoolPath(
@@ -357,8 +382,8 @@ class MultiScaleAttention(nn.Module):
                 kernel=tuple(self.kernel_q), stride=tuple(self.stride_q),
                 has_cls=self.has_cls, use_pallas=self.use_pallas,
                 dtype=self.dtype, name="pool_q",
-            )(qg, qe)
-            q_shape = tuple(qg.shape[1:4])
+            )(qg, qe, w_true=thw[2])
+            q_shape = pooled_true(self.kernel_q, self.stride_q)
         k_shape = thw
         if pool_kv_on:
             if self.mode == "conv":
@@ -403,28 +428,45 @@ class MultiScaleAttention(nn.Module):
                     kvg = pallas_pool.fused_pool_ln(
                         kvg, ck, ls, lb,
                         tuple(self.kernel_kv), tuple(self.stride_kv),
-                        head_dim,
+                        head_dim, thw[2], self.use_pallas,
                     )
                 else:
+                    if self.use_pallas and thw[2] < kvg.shape[3]:
+                        kvg = kvg[:, :, :, :thw[2]]  # POOL_PALLAS ablation
                     kvg = pooling.depthwise_conv3d(
                         kvg, ck, tuple(self.stride_kv)
                     )
                     kvg = _grouped_ln_apply(kvg, ls, lb, head_dim)
+                    if self.use_pallas:
+                        from svit_tpu.ops.pallas_pool import _carry_pad
+
+                        kvg = _carry_pad(kvg, True)
                 kve = _grouped_ln_apply(kve, ls, lb, head_dim)
-            elif self.mode == "max":
-                kvg = pooling.max_pool3d(
-                    kvg, tuple(self.kernel_kv), tuple(self.stride_kv)
+            elif self.mode in ("max", "avg"):
+                if self.use_pallas and thw[2] < kvg.shape[3]:
+                    kvg = kvg[:, :, :, :thw[2]]
+                pool = (
+                    pooling.max_pool3d if self.mode == "max"
+                    else pooling.avg_pool3d
                 )
-            elif self.mode == "avg":
-                kvg = pooling.avg_pool3d(
-                    kvg, tuple(self.kernel_kv), tuple(self.stride_kv)
-                )
+                kvg = pool(kvg, tuple(self.kernel_kv), tuple(self.stride_kv))
+                if self.use_pallas:
+                    from svit_tpu.ops.pallas_pool import _carry_pad
+
+                    kvg = _carry_pad(kvg, True)
             else:
                 raise NotImplementedError(f"Unsupported pool mode {self.mode}")
-            k_shape = tuple(kvg.shape[1:4])
+            k_shape = pooled_true(self.kernel_kv, self.stride_kv)
 
-        q_l = int(np.prod(q_shape))
-        k_l = int(np.prod(k_shape))
+        # Physical (possibly W8-carried) grids drive layout; q_shape/k_shape
+        # stay TRUE and drive the rel-pos tables.  When carried, the flat
+        # reshapes below are bitcasts — that is the whole point of the carry
+        # (flat<->rank-5 transitions were 2 physical copies each whenever
+        # W % 8 != 0; ~15 ms of a 77 ms batch-16 forward).
+        q_phys = tuple(qg.shape[1:4])
+        k_phys = tuple(kvg.shape[1:4])
+        q_l = int(np.prod(q_phys))
+        k_l = int(np.prod(k_phys))
         n_k = k_l + E
 
         # Keys/values: [patches | extras] — a tiny concat (K/V are pooled).
@@ -466,6 +508,7 @@ class MultiScaleAttention(nn.Module):
         bias_src, scatter = pa.build_bias_inputs_grid(
             qg, heads, q_shape, k_shape, n_k,
             rel_pos_h=rp_h, rel_pos_w=rp_w, rel_pos_t=rp_t,
+            k_w_phys=k_phys[2] if k_phys[2] != k_shape[2] else None,
         )
         wp, bp = _DenseParams(dim_out, dim_out, name="proj")()
         if self.use_pallas:
@@ -578,7 +621,7 @@ class MultiScaleAttention(nn.Module):
             drop = nn.Dropout(self.drop_rate)
             og = drop(og, deterministic=deterministic)
             oe = drop(oe, deterministic=deterministic)
-        og = og.reshape((B,) + tuple(q_shape) + (dim_out,))
+        og = og.reshape((B,) + q_phys + (dim_out,))
         return (og, oe), q_shape
 
 
@@ -690,7 +733,8 @@ class MultiScaleBlock(nn.Module):
                 from svit_tpu.ops import pallas_pool
 
                 grid_res = pallas_pool.fused_pool_max(
-                    grid, kernel_skip, tuple(self.stride_q)
+                    grid, kernel_skip, tuple(self.stride_q),
+                    w_true=thw[2], keep_pad=True,
                 )
             else:
                 grid_res = pooling.max_pool3d(
@@ -698,6 +742,13 @@ class MultiScaleBlock(nn.Module):
                 )
         else:
             grid_res = grid
+        if self.use_pallas and grid_res.shape[3] < ag.shape[3]:
+            # a stride-1 q pool W8-carried the attention output while the
+            # residual skip kept the exact input width: align the skip
+            # (zero junk columns; the add keeps junk finite)
+            from svit_tpu.ops.pallas_pool import _carry_pad
+
+            grid_res = _carry_pad(grid_res, True)
 
         use_dp = self.drop_path > 0.0 and not deterministic
         rng1 = self.make_rng("dropout") if use_dp else None
@@ -734,7 +785,9 @@ class MultiScaleBlock(nn.Module):
                 att_dim, hidden, self.dim_out, name="mlp"
             )()
             w1c, w2c = w1.astype(self.dtype), w2.astype(self.dtype)
-            L = int(np.prod(thw_new))
+            # physical token count (W8-carried arrays are wider than
+            # thw_new; the flat reshape is a bitcast either way)
+            L = int(np.prod(grid_res.shape[1:4]))
             gr = grid_res.reshape(B0, L, att_dim)
             agf = ag.reshape(B0, L, att_dim)
             if use_dp:

@@ -450,6 +450,9 @@ class SViT(nn.Module):
             # norm feeds nothing and is skipped.
             head_in = norm(extras)
         else:
+            if grid.shape[3] > thw[2]:
+                # W8-carried grid: junk columns must not enter the mean
+                grid = grid[:, :, :, : thw[2]]
             gN = norm(grid)
             cls_tok = gN.reshape(B, -1, gN.shape[-1]).mean(axis=1, keepdims=True)
             head_in = jnp.concatenate([cls_tok, norm(extras)], axis=1)

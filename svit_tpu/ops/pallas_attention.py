@@ -134,19 +134,32 @@ def _pick_q_tile(q_tile: int, n_q: int, n_k_pad: int, live_f32_rows: int,
 
 @functools.lru_cache(maxsize=None)
 def _scatter_matrix(
-    k_shape: Tuple[int, int, int], n_k: int, n_k_pad: int, sp: int
+    k_shape: Tuple[int, int, int], n_k: int, n_k_pad: int, sp: int,
+    k_w_phys: Optional[int] = None,
 ) -> np.ndarray:
-    """[R, Nk_pad] one-hot map; R = kT + kH + kW + 1 (mask channel)."""
+    """[R, Nk_pad] one-hot map; R = kT + kH + kW + 1 (mask channel).
+
+    ``k_w_phys`` (W8-carry): the key grid arrives with its W axis padded to
+    a multiple of 8 — flat key index g maps to (t, h, w) with w in
+    [0, k_w_phys), and columns whose w >= true k_w are junk: they get NO
+    rel-pos one-hots and -inf through the mask channel, so padded keys
+    never receive attention weight.
+    """
     k_t, k_h, k_w = k_shape
+    kwp = k_w_phys or k_w
     R = k_t + k_h + k_w + 1
     M = np.zeros((R, n_k_pad), np.float32)
-    k_l = k_t * k_h * k_w
+    k_l = k_t * k_h * kwp
     grid = np.arange(k_l)
-    cols = sp + grid
-    M[grid // (k_h * k_w), cols] = 1.0
-    M[k_t + (grid // k_w) % k_h, cols] = 1.0
-    M[k_t + k_h + grid % k_w, cols] = 1.0
-    # mask channel: -inf on padding columns (bias_src channel fixed at 1)
+    w = grid % kwp
+    real = w < k_w
+    cols = sp + grid[real]
+    M[(grid // (k_h * kwp))[real], cols] = 1.0
+    M[k_t + ((grid // kwp) % k_h)[real], cols] = 1.0
+    M[k_t + k_h + w[real], cols] = 1.0
+    # mask channel: -inf on junk patch columns and on padding columns
+    # (bias_src channel fixed at 1)
+    M[R - 1, sp + grid[~real]] = NEG_INF
     M[R - 1, n_k:] = NEG_INF
     return M
 
@@ -658,6 +671,7 @@ def build_bias_inputs_grid(
     rel_pos_h: Optional[jax.Array],
     rel_pos_w: Optional[jax.Array],
     rel_pos_t: Optional[jax.Array],
+    k_w_phys: Optional[int] = None,
 ):
     """Assemble (bias_src [B, h, q_l, R], scatter [R, Nk_pad]) for the
     grid-native key layout ``[patch tokens | extras]`` (patches at offset 0).
@@ -666,6 +680,12 @@ def build_bias_inputs_grid(
     grid directly and every grid query row carries a bias; extras key columns
     (>= k_l) receive zero bias and padding columns (>= n_k) get -inf through
     the scatter mask channel.
+
+    W8-carry: ``q_shape``/``k_shape`` are the TRUE token grids (they drive
+    the rel-pos tables and ratio scaling); ``q_grid`` may arrive with its W
+    axis 8-padded (junk query rows get zero rel-pos bias — their outputs are
+    junk by contract) and ``k_w_phys`` declares the padded key-grid width so
+    junk key columns get -inf through the scatter's mask channel.
 
     Everything runs in ``q_grid``'s dtype (bf16 in production): the bias terms
     are O(1) additive logit offsets, so bf16 rounding (~0.4% rel) is far below
@@ -695,6 +715,10 @@ def build_bias_inputs_grid(
     if rel_pos_h is not None:
         Rh = rp.rel_table(rel_pos_h, q_shape[1], k_h).astype(dt)
         Rw = rp.rel_table(rel_pos_w, q_shape[2], k_w).astype(dt)
+        if Wq > q_shape[2]:
+            # carried q grid: junk query rows take the (arbitrary) zero
+            # rel-pos row — their outputs are junk by contract
+            Rw = jnp.pad(Rw, ((0, Wq - q_shape[2]), (0, 0), (0, 0)))
         terms.append(jnp.einsum(
             "btpwhc,pkc->bhtpwk", rq, Rh, preferred_element_type=jnp.float32,
         ).astype(dt))
@@ -708,5 +732,7 @@ def build_bias_inputs_grid(
     flat = [t.reshape(B, num_heads, q_l, t.shape[-1]) for t in terms]
     ones = jnp.ones((B, num_heads, q_l, 1), dt)
     bias_src = jnp.concatenate(flat + [ones], axis=-1)
-    scatter = jnp.asarray(_scatter_matrix(tuple(k_shape), n_k, n_k_pad, 0), dt)
+    scatter = jnp.asarray(
+        _scatter_matrix(tuple(k_shape), n_k, n_k_pad, 0, k_w_phys), dt
+    )
     return bias_src, scatter

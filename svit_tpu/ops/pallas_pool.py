@@ -89,6 +89,22 @@ def _out_size(d: int, k: int, s: int) -> int:
     return (d + 2 * (k // 2) - k) // s + 1
 
 
+def _mask_w(x, w_true: int, fill):
+    """Zero/-inf columns >= w_true on the W axis (dim 3 of [B,T,H,W,C]).
+
+    W8-carry support (docs/ROADMAP.md round-5): tensors ride with their W
+    axis right-padded to a multiple of 8 so flat<->rank-5 reshapes are
+    bitcasts; the junk columns carry finite garbage and every consumer that
+    reduces across W must neutralize them.  Callers apply this right before
+    an ``jnp.pad`` so XLA fuses the select into the copy it already makes.
+    ``where`` (select), not multiply: NaN-safe if junk ever goes non-finite.
+    """
+    if w_true is None or w_true >= x.shape[3]:
+        return x
+    wi = jax.lax.broadcasted_iota(jnp.int32, x.shape, 3)
+    return jnp.where(wi < w_true, x, jnp.full_like(x, fill))
+
+
 def _pad8(x: int) -> int:
     return ((x + 7) // 8) * 8
 
@@ -124,10 +140,21 @@ def _group_ln(a, s_ref, st_ref, ls_ref, lb_ref, head_dim: int):
     return xc * jax.lax.rsqrt(var + _EPS) * ls_ref[...] + lb_ref[...]
 
 
+def _zero_junk_w(y, wo_true: Optional[int], w_out: int, axis: int = 2):
+    """Zero output columns >= wo_true (W8-carry: junk must stay finite —
+    downstream LNs/matmuls process junk rows and -inf/NaN would poison the
+    attention softmax through its additive mask)."""
+    if wo_true is None or wo_true >= w_out:
+        return y
+    wi = jax.lax.broadcasted_iota(jnp.int32, y.shape, axis)
+    return jnp.where(wi < wo_true, y, jnp.zeros_like(y))
+
+
 def _kernel_s1(
     x_ref, k_ref, s_ref, st_ref, ls_ref, lb_ref, o_ref,
     *, kernel: Triple, t_tile: int, h_tile: int, w_out: int, head_dim: int,
     apply_ln: bool = True, interpret: bool = False,
+    wo_true: Optional[int] = None,
 ):
     """Stride-1 conv+LN over one (t, h) tile.  The input block carries the
     full W row WITHOUT a W halo pad: a left pad of kW//2 sublane-misaligns
@@ -189,13 +216,14 @@ def _kernel_s1(
         ).reshape(t_tile, h_tile, w_out, C)
     else:
         y = acc
-    o_ref[0] = y.astype(o_ref.dtype)
+    o_ref[0] = _zero_junk_w(y, wo_true, w_out).astype(o_ref.dtype)
 
 
 def _kernel_strided(
     x_ref, k_ref, s_ref, st_ref, ls_ref, lb_ref, o_ref,
     *, kernel: Triple, s: int, t_tile: int, h_tile: int, w_out: int,
     C: int, head_dim: int, apply_ln: bool = True, interpret: bool = False,
+    wo_true: Optional[int] = None,
 ):
     """True-strided conv+LN (spatial stride s on H and W).
 
@@ -272,7 +300,7 @@ def _kernel_strided(
         ).reshape(t_tile, h_tile, w_out, C)
     else:
         y = acc
-    o_ref[0] = y.astype(o_ref.dtype)
+    o_ref[0] = _zero_junk_w(y, wo_true, w_out).astype(o_ref.dtype)
 
 
 def _pick_tiles_strided(To, Ho, Wq, w_out, s, C, kernel, itemsize):
@@ -342,9 +370,22 @@ def _pick_tiles(To, Ho, Wo, C, kernel, itemsize):
     return best, best_steps is not None
 
 
+def _carry_pad(out, keep_pad: bool):
+    """Right-pad an exact-width result to W8 with zeros (W8-carry output)."""
+    if not keep_pad:
+        return out
+    Wo = out.shape[3]
+    W8 = _pad8(Wo)
+    if W8 != Wo:
+        out = jnp.pad(out, [(0, 0)] * 3 + [(0, W8 - Wo)] + [(0, 0)])
+    return out
+
+
 def _forward(x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim,
-             interpret: bool, apply_ln: bool = True):
-    B, T, H, W, C = x.shape
+             interpret: bool, apply_ln: bool = True,
+             w_true: Optional[int] = None, keep_pad: bool = False):
+    B, T, H, Wp, C = x.shape
+    W = Wp if w_true is None else w_true
     kT, kH, kW = kernel
     st_, sh, sw = stride
 
@@ -352,7 +393,8 @@ def _forward(x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim,
         if sh == sw and sh > 1:
             out = _forward_strided(
                 x, kernel_w, ln_scale, ln_bias, kernel, sh, head_dim,
-                interpret, apply_ln=apply_ln,
+                interpret, apply_ln=apply_ln, w_true=w_true,
+                keep_pad=keep_pad,
             )
             # temporal stride (unused by the SSv2 schedule) via subsample
             return out[:, ::st_] if st_ > 1 else out
@@ -361,9 +403,9 @@ def _forward(x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim,
         # LN is per-token) — bitwise identical.
         full = _forward(
             x, kernel_w, ln_scale, ln_bias, kernel, (1, 1, 1), head_dim,
-            interpret, apply_ln=apply_ln,
+            interpret, apply_ln=apply_ln, w_true=w_true, keep_pad=False,
         )
-        return full[:, ::st_, ::sh, ::sw]
+        return _carry_pad(full[:, ::st_, ::sh, ::sw], keep_pad)
 
     To, Ho, Wo = (_out_size(d, k, 1) for d, k in zip((T, H, W), kernel))
     # T/H halos via XLA pad (untiled dims: alignment-preserving, ~copy
@@ -371,14 +413,16 @@ def _forward(x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim,
     # (W, C) row and ran at gather speed; the kernel rotates in VMEM
     # instead.  W is only right-padded to the 8-divisible W8 (aligned
     # append, zero fill) so block shapes are legal; the zero fill makes
-    # junk-column tap contributions vanish and the [:Wo] slice below drops
-    # the junk outputs.
+    # junk-column tap contributions vanish.  W8-carried inputs
+    # (w_true < Wp) get their junk columns zeroed by the same fused select,
+    # restoring the zero-padding conv semantics.
     W8 = _pad8(Wo)
+    assert W8 >= Wp, (W8, Wp, W)
     pads = [
         (0, 0),
         (kernel[0] // 2, kernel[0] // 2),
         (kernel[1] // 2, kernel[1] // 2),
-        (0, W8 - Wo),
+        (0, W8 - Wp),
         (0, 0),
     ]
     (t_tile, h_tile), ok = _pick_tiles(To, Ho, Wo, C, kernel, x.dtype.itemsize)
@@ -388,9 +432,9 @@ def _forward(x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim,
         # reference path instead
         return pool_ln_reference(
             x, kernel_w, ln_scale, ln_bias, kernel, (1, 1, 1), head_dim,
-            apply_ln=apply_ln,
+            apply_ln=apply_ln, w_true=w_true, keep_pad=keep_pad,
         )
-    xp = jnp.pad(x, pads)
+    xp = jnp.pad(_mask_w(x, w_true, 0.0), pads)
 
     kf = kernel_w.reshape(kT * kH * kW, C).astype(jnp.float32)
     s_mat, st_mat = _stat_mats(C, head_dim)
@@ -400,6 +444,7 @@ def _forward(x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim,
     kern = functools.partial(
         _kernel_s1, kernel=kernel, t_tile=t_tile, h_tile=h_tile,
         w_out=W8, head_dim=head_dim, apply_ln=apply_ln, interpret=interpret,
+        wo_true=Wo if (keep_pad and W8 != Wo) else None,
     )
     grid = (B, To // t_tile, Ho // h_tile)
     tin, hin = t_tile + kT - 1, h_tile + kH - 1
@@ -432,15 +477,17 @@ def _forward(x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim,
         interpret=interpret,
         **extra,
     )(xp, kf, s_mat, st_mat, ls, lb)
-    if W8 != Wo:
+    if W8 != Wo and not keep_pad:
         out = out[:, :, :, :Wo, :]
     return out
 
 
 def _forward_strided(x, kernel_w, ln_scale, ln_bias, kernel, s, head_dim,
-                     interpret: bool, apply_ln: bool = True):
+                     interpret: bool, apply_ln: bool = True,
+                     w_true: Optional[int] = None, keep_pad: bool = False):
     """Spatially-strided (stride s on H and W, stride 1 on T) fused pool+LN."""
-    B, T, H, W, C = x.shape
+    B, T, H, Wp, C = x.shape
+    W = Wp if w_true is None else w_true
     kT, kH, kW = kernel
     To = _out_size(T, kT, 1)
     Ho = _out_size(H, kH, s)
@@ -452,19 +499,19 @@ def _forward_strided(x, kernel_w, ln_scale, ln_bias, kernel, s, head_dim,
     # ran at gather speed): left taps become in-kernel rotates, W is only
     # right-padded with zeros up to Wq*s so the parity reshape and the
     # 8-aligned output width are legal (zero fill makes junk-column taps
-    # vanish; junk outputs are sliced off).
+    # vanish).  W8-carried inputs get their junk zeroed by the fused select.
     Hp = H + 2 * (kH // 2)
     Hq = -(-max(Hp, (Ho - 1) * s + kH) // s)
     omax = (kW - 1 - kW // 2) // s
-    Wq = max(omax + W8, -(-W // s))
+    Wq = max(omax + W8, -(-Wp // s))
     pads = [
         (0, 0),
         (kT // 2, kT // 2),
         (kH // 2, Hq * s - H - (kH // 2)),
-        (0, Wq * s - W),
+        (0, Wq * s - Wp),
         (0, 0),
     ]
-    xp = jnp.pad(x, pads)
+    xp = jnp.pad(_mask_w(x, w_true, 0.0), pads)
     # The parity regroup H -> (Hq, s), W -> (Wq, s*C) happens inside the
     # kernel (VMEM) when C is lane-aligned: as an XLA reshape it cost a
     # full HBM relayout pass.  Mosaic's shape cast rejects non-128-multiple
@@ -482,7 +529,7 @@ def _forward_strided(x, kernel_w, ln_scale, ln_bias, kernel, s, head_dim,
         # reference (compiling the (1,1)-tile kernel would fail in Mosaic)
         return pool_ln_reference(
             x, kernel_w, ln_scale, ln_bias, kernel, (1, s, s), head_dim,
-            apply_ln=apply_ln,
+            apply_ln=apply_ln, w_true=w_true, keep_pad=keep_pad,
         )
 
     kf = kernel_w.reshape(kT * kH * kW, C).astype(jnp.float32)
@@ -494,6 +541,7 @@ def _forward_strided(x, kernel_w, ln_scale, ln_bias, kernel, s, head_dim,
         _kernel_strided, kernel=kernel, s=s, t_tile=t_tile, h_tile=h_tile,
         w_out=W8, C=C, head_dim=head_dim, apply_ln=apply_ln,
         interpret=interpret,
+        wo_true=Wo if (keep_pad and W8 != Wo) else None,
     )
     grid = (B, To // t_tile, Ho // h_tile)
     tin = t_tile + kT - 1
@@ -532,13 +580,14 @@ def _forward_strided(x, kernel_w, ln_scale, ln_bias, kernel, s, head_dim,
         ),
         interpret=interpret,
     )(xp, kf, s_mat, st_mat, ls, lb)
-    if W8 != Wo:
+    if W8 != Wo and not keep_pad:
         out = out[:, :, :, :Wo, :]
     return out
 
 
 def pool_ln_reference(x, kernel_w, ln_scale, ln_bias, kernel, stride,
-                      head_dim, apply_ln: bool = True):
+                      head_dim, apply_ln: bool = True,
+                      w_true: Optional[int] = None, keep_pad: bool = False):
     """XLA formulation with identical numerics (VJP recompute + fallback).
 
     The conv is tap-formulated (kT*kH*kW shifted strided slices, one fused
@@ -550,7 +599,11 @@ def pool_ln_reference(x, kernel_w, ln_scale, ln_bias, kernel, stride,
 
     ``apply_ln=False`` gives the bare conv (same contract as the kernels),
     so every fused_pool_ln/pallas_depthwise_conv call has a working fallback
-    on environments without ``pl.Element``."""
+    on environments without ``pl.Element``.  W8-carry contract matches the
+    kernels: ``w_true`` slices the carried input to its true width,
+    ``keep_pad`` re-pads the output to W8 with zeros."""
+    if w_true is not None and w_true < x.shape[3]:
+        x = x[:, :, :, :w_true]
     B, T, H, W, C = x.shape
     kT, kH, kW = kernel
     st_, sh, sw = stride
@@ -581,7 +634,7 @@ def pool_ln_reference(x, kernel_w, ln_scale, ln_bias, kernel, stride,
                 )
                 acc = acc + sl.astype(jnp.float32) * kf[dt, dh, dw, 0]
     if not apply_ln:
-        return acc.astype(x.dtype)
+        return _carry_pad(acc.astype(x.dtype), keep_pad)
     h = C // head_dim
     yf = acc.reshape(B, To, Ho, Wo, h, head_dim)
     mean = jnp.mean(yf, axis=-1, keepdims=True)
@@ -592,7 +645,7 @@ def pool_ln_reference(x, kernel_w, ln_scale, ln_bias, kernel, stride,
         ls = ls.reshape(h, head_dim)
         lb = lb.reshape(h, head_dim)
     o = (yf - mean) * jax.lax.rsqrt(var + _EPS) * ls + lb
-    return o.astype(x.dtype).reshape(B, To, Ho, Wo, C)
+    return _carry_pad(o.astype(x.dtype).reshape(B, To, Ho, Wo, C), keep_pad)
 
 
 # ---------------------------------------------------------------------------
@@ -609,7 +662,7 @@ def pool_ln_reference(x, kernel_w, ln_scale, ln_bias, kernel, stride,
 def _kernel_strided_max(
     x_ref, o_ref,
     *, kernel: Triple, s: int, t_tile: int, h_tile: int, w_out: int,
-    C: int, interpret: bool = False,
+    C: int, interpret: bool = False, wo_true: Optional[int] = None,
 ):
     kT, kH, kW = kernel
     xr = x_ref[0]
@@ -654,13 +707,18 @@ def _kernel_strided_max(
                     (dt + t_tile, dh // s + h_tile, dh % s + 1, w_out, C),
                 ).reshape(t_tile, h_tile, w_out, C)
                 acc = jnp.maximum(acc, tap)
-    o_ref[0] = acc.astype(o_ref.dtype)
+    # W8-carry: junk output columns would otherwise be -inf (all-pad
+    # windows) and poison downstream arithmetic — zero them in VMEM
+    o_ref[0] = _zero_junk_w(acc, wo_true, w_out).astype(o_ref.dtype)
 
 
-def _forward_strided_max(x, kernel, s: int, interpret: bool):
+def _forward_strided_max(x, kernel, s: int, interpret: bool,
+                         w_true: Optional[int] = None,
+                         keep_pad: bool = False):
     """Pallas strided max pool.  Returns None when no tiling fits (caller
     falls back to the XLA reduce_window path)."""
-    B, T, H, W, C = x.shape
+    B, T, H, Wp, C = x.shape
+    W = Wp if w_true is None else w_true
     kT, kH, kW = kernel
     To = _out_size(T, kT, 1)
     Ho = _out_size(H, kH, s)
@@ -669,7 +727,7 @@ def _forward_strided_max(x, kernel, s: int, interpret: bool):
     Hp = H + 2 * (kH // 2)
     Hq = -(-max(Hp, (Ho - 1) * s + kH) // s)
     omax = (kW - 1 - kW // 2) // s
-    Wq = max(omax + W8, -(-W // s))
+    Wq = max(omax + W8, -(-Wp // s))
     (t_tile, h_tile), ok = _pick_tiles_strided(
         To, Ho, Wq, W8, s, C, kernel, x.dtype.itemsize
     )
@@ -679,12 +737,13 @@ def _forward_strided_max(x, kernel, s: int, interpret: bool):
         (0, 0),
         (kT // 2, kT // 2),
         (kH // 2, Hq * s - H - (kH // 2)),
-        (0, Wq * s - W),
+        (0, Wq * s - Wp),
         (0, 0),
     ]
     # -inf fill: max-pool padding must never win (the conv kernels use the
-    # zero fill because zero taps vanish in the FMA; max has no such luck)
-    xp = jnp.pad(x, pads, constant_values=-np.inf)
+    # zero fill because zero taps vanish in the FMA; max has no such luck).
+    # Carried junk columns get the same -inf through the fused select.
+    xp = jnp.pad(_mask_w(x, w_true, -np.inf), pads, constant_values=-np.inf)
     in_kernel_parity = (C % 128 == 0)
     if not in_kernel_parity:
         xp = xp.reshape(B, xp.shape[1], Hq, s, Wq, s * C)
@@ -692,6 +751,7 @@ def _forward_strided_max(x, kernel, s: int, interpret: bool):
     kern = functools.partial(
         _kernel_strided_max, kernel=kernel, s=s, t_tile=t_tile,
         h_tile=h_tile, w_out=W8, C=C, interpret=interpret,
+        wo_true=Wo if (keep_pad and W8 != Wo) else None,
     )
     grid = (B, To // t_tile, Ho // h_tile)
     tin = t_tile + kT - 1
@@ -722,21 +782,32 @@ def _forward_strided_max(x, kernel, s: int, interpret: bool):
         ),
         interpret=interpret,
     )(xp)
-    if W8 != Wo:
+    if W8 != Wo and not keep_pad:
         out = out[:, :, :, :Wo, :]
     return out
 
 
-def fused_pool_max(x, kernel, stride, interpret: Optional[bool] = None):
+def _max_pool3d_true(x, kernel, stride, w_true, keep_pad):
+    """XLA reduce_window with the W8-carry contract (slice true, re-pad)."""
+    from svit_tpu.ops import pooling
+
+    if w_true is not None and w_true < x.shape[3]:
+        x = x[:, :, :, :w_true]
+    return _carry_pad(pooling.max_pool3d(x, kernel, stride), keep_pad)
+
+
+def fused_pool_max(x, kernel, stride, interpret: Optional[bool] = None,
+                   w_true: Optional[int] = None, keep_pad: bool = False):
     """Strided max pool (torch MaxPool3d semantics, padding k//2).
 
     Pallas kernel when the shape qualifies (spatial stride s==s>1, temporal
     stride 1, element-indexed blocks available); XLA reduce_window
     otherwise.  The VJP recomputes through the XLA reference, so gradient
     routing (first-match window element on ties) is unchanged.
+    W8-carry: ``w_true`` masks carried junk input columns to -inf;
+    ``keep_pad`` keeps the 8-aligned output width with junk columns ZEROED
+    (an all-junk window is -inf and would poison downstream arithmetic).
     """
-    from svit_tpu.ops import pooling
-
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     kT, kH, kW = kernel
@@ -749,28 +820,29 @@ def fused_pool_max(x, kernel, stride, interpret: Optional[bool] = None):
         or kH != kW
         or kT % 2 == 0
     ):
-        return pooling.max_pool3d(x, tuple(kernel), tuple(stride))
-    return _pool_max(tuple(kernel), tuple(stride), bool(interpret), x)
+        return _max_pool3d_true(x, tuple(kernel), tuple(stride), w_true,
+                                keep_pad)
+    return _pool_max(tuple(kernel), tuple(stride), bool(interpret),
+                     w_true, bool(keep_pad), x)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _pool_max(kernel, stride, interpret, x):
-    out = _forward_strided_max(x, kernel, stride[1], interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _pool_max(kernel, stride, interpret, w_true, keep_pad, x):
+    out = _forward_strided_max(x, kernel, stride[1], interpret,
+                               w_true=w_true, keep_pad=keep_pad)
     if out is None:
-        from svit_tpu.ops import pooling
-
-        out = pooling.max_pool3d(x, kernel, stride)
+        out = _max_pool3d_true(x, kernel, stride, w_true, keep_pad)
     return out
 
 
-def _pool_max_fwd(kernel, stride, interpret, x):
-    return _pool_max(kernel, stride, interpret, x), x
+def _pool_max_fwd(kernel, stride, interpret, w_true, keep_pad, x):
+    return _pool_max(kernel, stride, interpret, w_true, keep_pad, x), x
 
 
-def _pool_max_bwd(kernel, stride, interpret, x, g):
-    from svit_tpu.ops import pooling
-
-    _, vjp = jax.vjp(lambda xx: pooling.max_pool3d(xx, kernel, stride), x)
+def _pool_max_bwd(kernel, stride, interpret, w_true, keep_pad, x, g):
+    _, vjp = jax.vjp(
+        lambda xx: _max_pool3d_true(xx, kernel, stride, w_true, keep_pad), x
+    )
     return vjp(g)
 
 
@@ -978,31 +1050,46 @@ def _dk_pallas(x, g, kernel, stride, interpret: bool):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def pallas_depthwise_conv(x, kernel_w, kernel, stride, head_dim):
-    """Depthwise conv (torch padding k//2), bf16 out, via the pool kernels."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def pallas_depthwise_conv(x, kernel_w, kernel, stride, head_dim,
+                          w_true=None, keep_pad=False):
+    """Depthwise conv (torch padding k//2), bf16 out, via the pool kernels.
+
+    W8-carry contract: ``w_true`` zeroes carried junk input columns (the
+    conv's zero-padding semantics), ``keep_pad`` keeps the 8-aligned output
+    width (junk output columns zeroed in-kernel)."""
     return _fused_pool_ln_fwd_impl(
         x, kernel_w, jnp.ones((head_dim,), jnp.float32),
         jnp.zeros((head_dim,), jnp.float32), kernel, stride, head_dim,
-        apply_ln=False,
+        apply_ln=False, w_true=w_true, keep_pad=keep_pad,
     )
 
 
-def _pdc_fwd(x, kernel_w, kernel, stride, head_dim):
-    return pallas_depthwise_conv(x, kernel_w, kernel, stride, head_dim), (
-        x, kernel_w,
-    )
+def _pdc_fwd(x, kernel_w, kernel, stride, head_dim, w_true, keep_pad):
+    return pallas_depthwise_conv(
+        x, kernel_w, kernel, stride, head_dim, w_true, keep_pad
+    ), (x, kernel_w)
 
 
-def _pdc_bwd(kernel, stride, head_dim, res, g):
+def _pdc_bwd(kernel, stride, head_dim, w_true, keep_pad, res, g):
     x, kernel_w = res
-    B, T, H, W, C = x.shape
+    B, T, H, Wp, C = x.shape
+    W = Wp if w_true is None else w_true
     kT, kH, kW = kernel
     st_, sh, sw = stride
+    # W8-carry: the primal zeroes junk input columns and junk output
+    # columns; differentiate that exact function.  Junk cotangent columns
+    # are zero by construction upstream, but slicing g to the true output
+    # extent makes dk/dx independent of them regardless.
+    Wo = _out_size(W, kW, sw)
+    if g.shape[3] > Wo:
+        g = g[:, :, :, :Wo]
+    xm = _mask_w(x, w_true, 0.0)
     g32 = g.astype(jnp.float32)
 
-    # dx: zero-stuff g to the input grid, right-pad to (T, H, W), stride-1
-    # conv with flipped filters (same padding).
+    # dx: zero-stuff g to the input grid, right-pad to (T, H, Wp), stride-1
+    # conv with flipped filters (same padding).  The conv's keep_pad zeroes
+    # the junk dx columns in-kernel (d(masked input)/dx == 0 there).
     gf = g32
     if (st_, sh, sw) != (1, 1, 1):
         gf = jax.lax.pad(
@@ -1011,12 +1098,13 @@ def _pdc_bwd(kernel, stride, head_dim, res, g):
              (0, 0, 0)],
         )
     pad_t, pad_h, pad_w = (
-        T - gf.shape[1], H - gf.shape[2], W - gf.shape[3]
+        T - gf.shape[1], H - gf.shape[2], Wp - gf.shape[3]
     )
     gf = jnp.pad(gf, [(0, 0), (0, pad_t), (0, pad_h), (0, pad_w), (0, 0)])
     flipped = kernel_w[::-1, ::-1, ::-1]
     dx = pallas_depthwise_conv(
-        gf, flipped, kernel, (1, 1, 1), head_dim
+        gf, flipped, kernel, (1, 1, 1), head_dim,
+        W, Wp != W,
     ).astype(x.dtype)
 
     # dk: tap-formulated filter gradient via the Pallas reduction kernel
@@ -1024,7 +1112,7 @@ def _pdc_bwd(kernel, stride, head_dim, res, g):
     interpret = jax.default_backend() == "cpu"
     dk = None
     if _Element is not None and st_ == 1 and sh == sw:
-        dk = _dk_pallas(x, g, kernel, stride, interpret)  # None if over-budget
+        dk = _dk_pallas(xm, g, kernel, stride, interpret)  # None if over-budget
     if dk is None:
         pads = [(0, 0)] + [(k // 2, k // 2) for k in kernel] + [(0, 0)]
         # barrier: prevents XLA-TPU from fusing the pad into the strided
@@ -1057,12 +1145,15 @@ pallas_depthwise_conv.defvjp(_pdc_fwd, _pdc_bwd)
 
 
 def _pool_ln_recompute(x, kernel_w, ln_scale, ln_bias, kernel, stride,
-                       head_dim):
+                       head_dim, w_true=None, keep_pad=False):
     """Differentiable recompute for the fused kernel's VJP: the conv runs as
     the Pallas primitive above (XLA's TPU depthwise conv costs ~2ms/call on
     a VPU fallback path) and the per-head LN is plain jnp (its autodiff is
-    elementwise + small reduces)."""
-    y = pallas_depthwise_conv(x, kernel_w, kernel, stride, head_dim)
+    elementwise + small reduces).  W8-carry: the conv primitive carries the
+    masking; the final select reproduces the kernel's zeroed junk output
+    columns so the VJP kills any junk cotangent automatically."""
+    y = pallas_depthwise_conv(x, kernel_w, kernel, stride, head_dim,
+                              w_true, keep_pad)
     shape = y.shape
     h = shape[-1] // head_dim
     yf = y.reshape(*shape[:-1], h, head_dim).astype(jnp.float32)
@@ -1074,48 +1165,63 @@ def _pool_ln_recompute(x, kernel_w, ln_scale, ln_bias, kernel, stride,
         ls = ls.reshape(h, head_dim)
         lb = lb.reshape(h, head_dim)
     o = (yf - mean) * jax.lax.rsqrt(var + _EPS) * ls + lb
-    return o.astype(x.dtype).reshape(shape)
+    o = o.astype(x.dtype).reshape(shape)
+    if keep_pad:
+        W = x.shape[3] if w_true is None else w_true
+        kW, sw = kernel[2], stride[2]
+        o = _mask_w(o, _out_size(W, kW, sw), 0.0)
+    return o
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def fused_pool_ln(x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def fused_pool_ln(x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim,
+                  w_true=None, keep_pad=False):
     """Depthwise-conv pool (torch padding k//2) + per-head LN, one Pallas pass.
 
     x: [B, T, H, W, C]; kernel_w: [kT, kH, kW, 1, C]; LN over head_dim groups.
+    W8-carry: ``w_true`` marks the true width of an 8-aligned carried input
+    (junk columns re-zeroed, restoring zero-pad conv semantics);
+    ``keep_pad`` emits the 8-aligned output width with junk columns zeroed.
     """
     return _fused_pool_ln_fwd_impl(x, kernel_w, ln_scale, ln_bias,
-                                   kernel, stride, head_dim)
+                                   kernel, stride, head_dim,
+                                   w_true=w_true, keep_pad=keep_pad)
 
 
 def _fused_pool_ln_fwd_impl(x, kernel_w, ln_scale, ln_bias,
                             kernel, stride, head_dim,
                             interpret: Optional[bool] = None,
-                            apply_ln: bool = True):
+                            apply_ln: bool = True,
+                            w_true: Optional[int] = None,
+                            keep_pad: bool = False):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if _Element is None:
         return pool_ln_reference(
             x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim,
-            apply_ln=apply_ln,
+            apply_ln=apply_ln, w_true=w_true, keep_pad=keep_pad,
         )
     return _forward(
         x, kernel_w, ln_scale, ln_bias, tuple(kernel), tuple(stride),
-        head_dim, interpret, apply_ln=apply_ln,
+        head_dim, interpret, apply_ln=apply_ln, w_true=w_true,
+        keep_pad=keep_pad,
     )
 
 
-def _fpl_fwd(x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim):
+def _fpl_fwd(x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim,
+             w_true, keep_pad):
     out = _fused_pool_ln_fwd_impl(
-        x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim
+        x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim,
+        w_true=w_true, keep_pad=keep_pad,
     )
     return out, (x, kernel_w, ln_scale, ln_bias)
 
 
-def _fpl_bwd(kernel, stride, head_dim, res, g):
+def _fpl_bwd(kernel, stride, head_dim, w_true, keep_pad, res, g):
     x, kernel_w, ln_scale, ln_bias = res
     _, vjp = jax.vjp(
         lambda a, b, c, d: _pool_ln_recompute(
-            a, b, c, d, kernel, stride, head_dim
+            a, b, c, d, kernel, stride, head_dim, w_true, keep_pad
         ),
         x, kernel_w, ln_scale, ln_bias,
     )
