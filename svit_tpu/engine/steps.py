@@ -165,6 +165,29 @@ def make_train_step(
     return train_step
 
 
+def make_packed_train_step(*args, **kwargs):
+    """``make_train_step`` with the metrics dict packed into ONE f32 vector.
+
+    The engine loop defers metric fetches to LOG_PERIOD boundaries; fetching
+    K dicts of ~13 separate scalar buffers costs ~K*13 tiny device->host
+    transfers (each a tunnel/PCIe round trip), while the packed form is one
+    stack dispatch + one contiguous transfer per flush.  Returns
+    ``(step_fn, metric_names)`` — ``metric_names`` is a list filled in at
+    trace time (stable across retraces; read it after the first call).
+    """
+    base = make_train_step(*args, **kwargs)
+    names: list = []
+
+    def packed(state, video_batch, image_batch, rng):
+        s, m = base(state, video_batch, image_batch, rng)
+        ks = sorted(m)
+        if not names:
+            names.extend(ks)
+        return s, jnp.stack([m[k].astype(jnp.float32) for k in ks])
+
+    return packed, names
+
+
 def make_eval_step(model, num_classes, loss_obj=None,
                    with_consistency: bool = False):
     """Eval: logits (softmax'd — eval head act) + weighted top-1/5 counts.

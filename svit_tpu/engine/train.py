@@ -80,15 +80,16 @@ class Trainer:
             from svit_tpu.data.device_aug import config_from_cfg
 
             device_aug_cfg = config_from_cfg(cfg)
-        self.step_jit = jax.jit(
-            steps.make_train_step(
-                self.model, self.loss_obj, self.tx,
-                video_weight=1.0 - w_i, image_weight=w_i,
-                with_image=self.with_image, with_consistency=with_consistency,
-                device_aug_cfg=device_aug_cfg,
-            ),
-            donate_argnums=(0,),
+        packed, self.metric_names = steps.make_packed_train_step(
+            self.model, self.loss_obj, self.tx,
+            video_weight=1.0 - w_i, image_weight=w_i,
+            with_image=self.with_image, with_consistency=with_consistency,
+            device_aug_cfg=device_aug_cfg,
         )
+        # step_jit returns (state, packed f32 metric vector); metric_names
+        # fills at first trace — train_epoch unpacks at each LOG_PERIOD
+        # flush (ONE transfer instead of ~13 scalars per step)
+        self.step_jit = jax.jit(packed, donate_argnums=(0,))
         # full val loss dict (VERDICT r2 item 7): pass the loss object when
         # it is the dict-producing kind so val logs carry the same loss keys
         # as train (reference eval_extra_metrics, meters.py:869-883).
@@ -366,17 +367,21 @@ def train_epoch(cfg, trainer, state, train_meter, cur_epoch, rng,
     # keeps per-step granularity — it just fires up to LOG_PERIOD-1 steps
     # late, naming the exact step (the reference's guard semantics,
     # ``misc.check_nan_losses``).
-    pending = []  # (cur_iter, lr, batch_count, device_metrics)
+    pending = []  # (cur_iter, lr, batch_count, device_metric_vector)
 
     def flush_pending():
         if not pending:
             return
-        fetched = jax.device_get([m for (_, _, _, m) in pending])
-        for (it, lr_i, n_i, _), m in zip(pending, fetched):
-            steps.check_nan(m, f"(epoch {cur_epoch}, iter {it})")
-            train_meter.update_stats(
-                lr_i, n_i, {k: float(v) for k, v in m.items()}
-            )
+        # one stack dispatch + ONE contiguous device->host transfer for the
+        # whole window (the per-dict form cost ~13 tiny round trips/step)
+        fetched = jax.device_get(
+            jnp.stack([m for (_, _, _, m) in pending])
+        )
+        names = trainer.metric_names
+        for (it, lr_i, n_i, _), row in zip(pending, fetched):
+            md = dict(zip(names, row.tolist()))
+            steps.check_nan(md, f"(epoch {cur_epoch}, iter {it})")
+            train_meter.update_stats(lr_i, n_i, md)
         pending.clear()
 
     train_meter.iter_tic()

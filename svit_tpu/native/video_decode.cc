@@ -255,8 +255,11 @@ void* svit_video_encoder_open(const char* path, int w, int h, double fps) {
   e->enc->width = e->w;
   e->enc->height = e->h;
   e->enc->pix_fmt = AV_PIX_FMT_YUV420P;
-  // fractional rates (e.g. a probed 14.4 fps source) carry through exactly
-  e->enc->time_base = av_inv_q(av_d2q(fps, 1 << 16));
+  // fractional rates (e.g. a probed 14.4 fps source) carry through exactly;
+  // cap the denominator at 65535 — mpeg4's time_increment_resolution is a
+  // 16-bit field, and av_d2q(fps, 1 << 16) can land exactly one past it,
+  // failing avcodec_open2 for pathological probed rates
+  e->enc->time_base = av_inv_q(av_d2q(fps, 65535));
   e->enc->gop_size = 12;
   e->enc->max_b_frames = 0;
   // generous bitrate (~1 bit/pixel): the demo overlay must stay legible

@@ -985,7 +985,10 @@ def _dk_pallas(x, g, kernel, stride, interpret: bool):
         s = sh
         Hp = H + 2 * (kH // 2)
         Hq = -(-max(Hp, (Ho - 1) * s + kH) // s)
-        Wq = (kW - 1) // s + W8
+        # W8-carry: the saved input may be WIDER than the tap extent needs
+        # ((kW-1)//s + W8 rows of parity planes) — Wq must also cover the
+        # physical input plus its left halo or the pad below goes negative
+        Wq = max((kW - 1) // s + W8, -(-(W + kW // 2) // s))
         pads = [
             (0, 0),
             (kT // 2, kT // 2),

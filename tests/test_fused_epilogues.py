@@ -256,3 +256,37 @@ def test_pick_q_tile_proj_budget():
         fixed = 2 * nk * 2 * c * 2 + 2 * c * c * 2
         per_row = 4 * 2 * nk + 3 * 2 * c * 2 + 2 * h * 128 * 2 + 8 * c
         assert t <= 128 or fixed + t * per_row <= pa._VMEM_BUDGET * 1.01
+
+
+@pytest.mark.parametrize("has_cls", [True, False])
+def test_extras_residual_pooling_cls_correction(has_cls):
+    """Advisor r4 low finding: the fused extras launch adds the q residual
+    to EVERY row and subtracts proj(q_cls) post-hoc for the cls row
+    (models/attention.py); pin the fused extras output against the
+    non-Pallas branch with residual_pooling=True at the module level."""
+    import numpy as np
+
+    from svit_tpu.models.attention import MultiScaleAttention
+
+    kw = dict(
+        dim=32, dim_out=32, num_heads=2, input_size=(2, 4, 4),
+        kernel_q=(), kernel_kv=(3, 3, 3), stride_q=(), stride_kv=(1, 2, 2),
+        mode="conv", has_cls=has_cls, rel_pos_spatial=True,
+        rel_pos_temporal=True, residual_pooling=True, dtype=jnp.float32,
+    )
+    m_x = MultiScaleAttention(use_pallas=False, **kw)
+    m_p = MultiScaleAttention(use_pallas=True, **kw)
+    B, E = 2, (1 + 6 if has_cls else 6)
+    rs = np.random.RandomState(0)
+    grid = jnp.asarray(rs.randn(B, 2, 4, 4, 32), jnp.float32) * 0.5
+    extras = jnp.asarray(rs.randn(B, E, 32), jnp.float32) * 0.5
+    thw = (2, 4, 4)
+    params = m_x.init(
+        {"params": jax.random.PRNGKey(0)}, (grid, extras), thw
+    )
+    (gx, ex), _ = m_x.apply(params, (grid, extras), thw)
+    (gp, ep), _ = m_p.apply(params, (grid, extras), thw)
+    np.testing.assert_allclose(np.asarray(ep), np.asarray(ex), atol=2e-5,
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=2e-5,
+                               rtol=1e-4)

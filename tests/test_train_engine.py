@@ -173,7 +173,8 @@ def test_val_loss_keys_match_train(tiny_env):
             k: ib[k]
             for k in ("frames", "haog_bboxes", "contact_state", "weight")
         }
-        _, metrics = trainer.step_jit(state, vb, ib, jax.random.PRNGKey(0))
+        _, vec = trainer.step_jit(state, vb, ib, jax.random.PRNGKey(0))
+        metrics = dict(zip(trainer.metric_names, jax.device_get(vec).tolist()))
         train_loss_keys = {
             k for k in metrics if "loss" in k or k == "loss_contact_state"
         }

@@ -68,7 +68,16 @@ def test_fused_pool_ln_carried_matches_exact(W, C, stride):
         assert np.all(np.asarray(carried[:, :, :, Wo:]) == 0.0)
 
 
-@pytest.mark.parametrize("W,C,stride", [(7, 128, (1, 2, 2)), (14, 64, (1, 1, 1))])
+@pytest.mark.parametrize(
+    "W,C,stride",
+    [
+        (7, 128, (1, 2, 2)),
+        (14, 64, (1, 1, 1)),
+        # Wp=32 at stride 4: the dk kernel's Wq must cover the carried
+        # (wider) input — this class traced a negative pad before the fix
+        (28, 128, (1, 4, 4)),
+    ],
+)
 def test_fused_pool_ln_carried_grads(W, C, stride):
     head_dim = 32
     kernel = (3, 3, 3)

@@ -142,14 +142,12 @@ def main():
         def put_batch(b):  # noqa: F811
             return next(video_dev) if "clips" in b else next(image_dev)
 
-    step_jit = jax.jit(
-        steps.make_train_step(
-            model, loss_obj, tx,
-            video_weight=7 / 8, image_weight=1 / 8,
-            with_image=True, with_consistency=True,
-        ),
-        donate_argnums=(0,),
+    packed, metric_names = steps.make_packed_train_step(
+        model, loss_obj, tx,
+        video_weight=7 / 8, image_weight=1 / 8,
+        with_image=True, with_consistency=True,
     )
+    step_jit = jax.jit(packed, donate_argnums=(0,))
 
     # Host-built params (bench pattern: avoids the slow tunneled init).
     import jax.numpy as jnp
@@ -174,6 +172,7 @@ def main():
         image_loader=_StagedLoader(image_loader.batches[: args.warmup]),
         put_batch=put_batch,
         step_jit=step_jit,
+        metric_names=metric_names,
         steps_per_epoch=n_batches,
         arch=arch,
     )
