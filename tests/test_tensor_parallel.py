@@ -160,3 +160,15 @@ def test_tp2_train_step_matches_dp8():
             results["tp2"][k], results["dp8"][k], rtol=2e-4, atol=1e-5,
             err_msg=f"metric {k} diverges between dp8 and tp2",
         )
+
+
+@pytest.mark.slow
+def test_full_depth_multichip_dryrun():
+    """VERDICT r4 item 6: the FULL 16-block ssv2 schedule (all three
+    stage-transition blocks) jitted and executed over the 8-device virtual
+    mesh — schedule-dependent sharding coverage beyond the fast 3-block
+    driver dryrun.  ~80 s cold on a 1-core host, seconds with the shipped
+    compilation cache."""
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8, full=True)
