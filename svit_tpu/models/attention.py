@@ -425,10 +425,17 @@ class MultiScaleAttention(nn.Module):
                 if self.use_pallas and POOL_PALLAS:
                     from svit_tpu.ops import pallas_pool
 
+                    # keep_pad=False: the pooled K/V is flattened into the
+                    # attention key axis, where carried junk columns would
+                    # grow Nk_pad (stage 2: 512 -> 640, +25% attention
+                    # FLOPs x11 blocks).  The kv tensors are pooled-tiny,
+                    # so the exact-width slice is ~30x cheaper than the
+                    # junk-key work it avoids; only the big residual/q
+                    # stream rides W8-carried.
                     kvg = pallas_pool.fused_pool_ln(
                         kvg, ck, ls, lb,
                         tuple(self.kernel_kv), tuple(self.stride_kv),
-                        head_dim, thw[2], self.use_pallas,
+                        head_dim, thw[2], False,
                     )
                 else:
                     if self.use_pallas and thw[2] < kvg.shape[3]:
@@ -437,10 +444,6 @@ class MultiScaleAttention(nn.Module):
                         kvg, ck, tuple(self.stride_kv)
                     )
                     kvg = _grouped_ln_apply(kvg, ls, lb, head_dim)
-                    if self.use_pallas:
-                        from svit_tpu.ops.pallas_pool import _carry_pad
-
-                        kvg = _carry_pad(kvg, True)
                 kve = _grouped_ln_apply(kve, ls, lb, head_dim)
             elif self.mode in ("max", "avg"):
                 if self.use_pallas and thw[2] < kvg.shape[3]:
@@ -450,10 +453,6 @@ class MultiScaleAttention(nn.Module):
                     else pooling.avg_pool3d
                 )
                 kvg = pool(kvg, tuple(self.kernel_kv), tuple(self.stride_kv))
-                if self.use_pallas:
-                    from svit_tpu.ops.pallas_pool import _carry_pad
-
-                    kvg = _carry_pad(kvg, True)
             else:
                 raise NotImplementedError(f"Unsupported pool mode {self.mode}")
             k_shape = pooled_true(self.kernel_kv, self.stride_kv)

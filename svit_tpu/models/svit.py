@@ -317,6 +317,14 @@ class SViT(nn.Module):
         is_video = t_in > 1
 
         x = x.astype(self.dtype)
+        # NOTE (round-5 measurement): carrying the STEM to a 16-aligned
+        # width (pixel-padding 224 -> 256 so the patch conv emits 64-wide)
+        # was tried and REGRESSED the forward 210 -> 195 clips/s — the +14%
+        # junk compute on the token-heaviest stage outweighs any reshape
+        # savings there; in the full graph XLA does not pay gather-speed
+        # relayouts for the 56-wide stem stream the way an isolated reshape
+        # microbenchmark does.  The W-carry therefore starts at the first
+        # strided pool output (ops/pallas_pool._carry_width).
         grid, (t_lat, H, W) = PatchEmbed(
             dim_out=arch.embed_dim,
             kernel=arch.patch_kernel,

@@ -89,6 +89,23 @@ def _out_size(d: int, k: int, s: int) -> int:
     return (d + 2 * (k // 2) - k) // s + 1
 
 
+# W8-carry geometry.  Measured on chip (round 5): a flat<->rank-5 reshape
+# is a bitcast only when W is a multiple of 16 for bf16 — the (8, 128)
+# tiling packs ROW PAIRS per 32-bit word for 2-byte dtypes, so 8-alignment
+# is not enough (W=56 round-trips ran at GATHER speed, ~90x slower than
+# W=64).  Carrying also costs junk compute in every row-parallel kernel, so
+# widths whose 16-aligned form exceeds the true width by >30% (e.g. the
+# stage-3 7 -> 16) stay EXACT and pay the (tiny, pooled-stream) copies
+# instead.
+CARRY_UNIT = 16
+_MAX_CARRY_NUM, _MAX_CARRY_DEN = 13, 10   # carry iff cw/w <= 1.3
+
+
+def _carry_width(w: int) -> int:
+    cw = ((w + CARRY_UNIT - 1) // CARRY_UNIT) * CARRY_UNIT
+    return cw if cw * _MAX_CARRY_DEN <= w * _MAX_CARRY_NUM else w
+
+
 def _mask_w(x, w_true: int, fill):
     """Zero/-inf columns >= w_true on the W axis (dim 3 of [B,T,H,W,C]).
 
@@ -371,13 +388,13 @@ def _pick_tiles(To, Ho, Wo, C, kernel, itemsize):
 
 
 def _carry_pad(out, keep_pad: bool):
-    """Right-pad an exact-width result to W8 with zeros (W8-carry output)."""
+    """Right-pad an exact-width result to the carry width with zeros."""
     if not keep_pad:
         return out
     Wo = out.shape[3]
-    W8 = _pad8(Wo)
-    if W8 != Wo:
-        out = jnp.pad(out, [(0, 0)] * 3 + [(0, W8 - Wo)] + [(0, 0)])
+    Wc = _carry_width(Wo)
+    if Wc != Wo:
+        out = jnp.pad(out, [(0, 0)] * 3 + [(0, Wc - Wo)] + [(0, 0)])
     return out
 
 
@@ -411,13 +428,14 @@ def _forward(x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim,
     # T/H halos via XLA pad (untiled dims: alignment-preserving, ~copy
     # speed).  NO W halo pad — a kW//2 left pad sublane-misaligns every
     # (W, C) row and ran at gather speed; the kernel rotates in VMEM
-    # instead.  W is only right-padded to the 8-divisible W8 (aligned
-    # append, zero fill) so block shapes are legal; the zero fill makes
-    # junk-column tap contributions vanish.  W8-carried inputs
+    # instead.  W is right-padded (aligned append, zero fill) so block
+    # shapes are legal: to the 8-divisible W8 for exact outputs, to the
+    # carry width when ``keep_pad`` carries it forward.  Carried inputs
     # (w_true < Wp) get their junk columns zeroed by the same fused select,
     # restoring the zero-padding conv semantics.
-    W8 = _pad8(Wo)
-    assert W8 >= Wp, (W8, Wp, W)
+    carry = keep_pad and _carry_width(Wo) > Wo
+    W8 = _carry_width(Wo) if carry else _pad8(Wo)
+    W8 = max(W8, _pad8(Wp))   # robust to inputs wider than the out extent
     pads = [
         (0, 0),
         (kernel[0] // 2, kernel[0] // 2),
@@ -444,7 +462,7 @@ def _forward(x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim,
     kern = functools.partial(
         _kernel_s1, kernel=kernel, t_tile=t_tile, h_tile=h_tile,
         w_out=W8, head_dim=head_dim, apply_ln=apply_ln, interpret=interpret,
-        wo_true=Wo if (keep_pad and W8 != Wo) else None,
+        wo_true=Wo if W8 != Wo else None,
     )
     grid = (B, To // t_tile, Ho // h_tile)
     tin, hin = t_tile + kT - 1, h_tile + kH - 1
@@ -477,7 +495,7 @@ def _forward(x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim,
         interpret=interpret,
         **extra,
     )(xp, kf, s_mat, st_mat, ls, lb)
-    if W8 != Wo and not keep_pad:
+    if W8 != Wo and not carry:
         out = out[:, :, :, :Wo, :]
     return out
 
@@ -492,7 +510,8 @@ def _forward_strided(x, kernel_w, ln_scale, ln_bias, kernel, s, head_dim,
     To = _out_size(T, kT, 1)
     Ho = _out_size(H, kH, s)
     Wo = _out_size(W, kW, s)
-    W8 = _pad8(Wo)
+    carry = keep_pad and _carry_width(Wo) > Wo
+    W8 = _carry_width(Wo) if carry else _pad8(Wo)
 
     # pad: T/H conv halo (untiled dims, ~copy speed) + parity-split
     # divisibility.  NO W left-halo pad (it sublane-misaligned every row and
@@ -541,7 +560,7 @@ def _forward_strided(x, kernel_w, ln_scale, ln_bias, kernel, s, head_dim,
         _kernel_strided, kernel=kernel, s=s, t_tile=t_tile, h_tile=h_tile,
         w_out=W8, C=C, head_dim=head_dim, apply_ln=apply_ln,
         interpret=interpret,
-        wo_true=Wo if (keep_pad and W8 != Wo) else None,
+        wo_true=Wo if W8 != Wo else None,
     )
     grid = (B, To // t_tile, Ho // h_tile)
     tin = t_tile + kT - 1
@@ -580,7 +599,7 @@ def _forward_strided(x, kernel_w, ln_scale, ln_bias, kernel, s, head_dim,
         ),
         interpret=interpret,
     )(xp, kf, s_mat, st_mat, ls, lb)
-    if W8 != Wo and not keep_pad:
+    if W8 != Wo and not carry:
         out = out[:, :, :, :Wo, :]
     return out
 
@@ -723,7 +742,8 @@ def _forward_strided_max(x, kernel, s: int, interpret: bool,
     To = _out_size(T, kT, 1)
     Ho = _out_size(H, kH, s)
     Wo = _out_size(W, kW, s)
-    W8 = _pad8(Wo)
+    carry = keep_pad and _carry_width(Wo) > Wo
+    W8 = _carry_width(Wo) if carry else _pad8(Wo)
     Hp = H + 2 * (kH // 2)
     Hq = -(-max(Hp, (Ho - 1) * s + kH) // s)
     omax = (kW - 1 - kW // 2) // s
@@ -751,7 +771,7 @@ def _forward_strided_max(x, kernel, s: int, interpret: bool,
     kern = functools.partial(
         _kernel_strided_max, kernel=kernel, s=s, t_tile=t_tile,
         h_tile=h_tile, w_out=W8, C=C, interpret=interpret,
-        wo_true=Wo if (keep_pad and W8 != Wo) else None,
+        wo_true=Wo if W8 != Wo else None,
     )
     grid = (B, To // t_tile, Ho // h_tile)
     tin = t_tile + kT - 1
@@ -782,7 +802,7 @@ def _forward_strided_max(x, kernel, s: int, interpret: bool,
         ),
         interpret=interpret,
     )(xp)
-    if W8 != Wo and not keep_pad:
+    if W8 != Wo and not carry:
         out = out[:, :, :, :Wo, :]
     return out
 

@@ -53,18 +53,19 @@ def test_fused_pool_ln_carried_matches_exact(W, C, stride):
 
     exact = pp.fused_pool_ln(x, kw, ls, lb, kernel, stride, head_dim)
     Wo = exact.shape[3]
-    W8o = pp._pad8(Wo)
+    Wc = pp._carry_width(Wo)  # keep_pad emits this (== Wo when the junk
+    #                           ratio exceeds the carry threshold)
 
     xp = _pad_garbage(x, pp._pad8(W))
     carried = pp.fused_pool_ln(
         xp, kw, ls, lb, kernel, stride, head_dim, W, True
     )
-    assert carried.shape[3] == W8o
+    assert carried.shape[3] == Wc
     np.testing.assert_allclose(
         np.asarray(carried[:, :, :, :Wo]), np.asarray(exact),
         atol=1e-5, rtol=1e-5,
     )
-    if W8o != Wo:
+    if Wc != Wo:
         assert np.all(np.asarray(carried[:, :, :, Wo:]) == 0.0)
 
 
@@ -121,16 +122,16 @@ def test_fused_pool_max_carried(W):
     x = _rand((B, T, H, W, C), seed=5)
     exact = pp.fused_pool_max(x, kernel, stride)
     Wo = exact.shape[3]
-    W8o = pp._pad8(Wo)
+    Wc = pp._carry_width(Wo)
     xp = _pad_garbage(x, pp._pad8(W))
     # garbage junk is LARGE positive: max masking must still exclude it
     xp = xp.at[:, :, :, W:].set(1e9)
     carried = pp.fused_pool_max(xp, kernel, stride, w_true=W, keep_pad=True)
-    assert carried.shape[3] == W8o
+    assert carried.shape[3] == Wc
     np.testing.assert_allclose(
         np.asarray(carried[:, :, :, :Wo]), np.asarray(exact), atol=0, rtol=0
     )
-    if W8o != Wo:
+    if Wc != Wo:
         assert np.all(np.asarray(carried[:, :, :, Wo:]) == 0.0)
 
     def f(x_):
