@@ -97,11 +97,16 @@ def _out_size(d: int, k: int, s: int) -> int:
 # widths whose 16-aligned form exceeds the true width by >30% (e.g. the
 # stage-3 7 -> 16) stay EXACT and pay the (tiny, pooled-stream) copies
 # instead.
-CARRY_UNIT = 16
+CARRY_UNIT = 8
 _MAX_CARRY_NUM, _MAX_CARRY_DEN = 13, 10   # carry iff cw/w <= 1.3
 
 
 def _carry_width(w: int) -> int:
+    """Measured A/B note (round 5): unit 16 with the stage-3 width left
+    exact LOST to unit 8 end-to-end — the exact stage-3 stream pays
+    gather-speed tile-misaligned slices that outweigh its bf16 reshape
+    copies.  Unit 8 carries 7->8 (and already lands 16-aligned at the
+    even stages: 28->32, 14->16)."""
     cw = ((w + CARRY_UNIT - 1) // CARRY_UNIT) * CARRY_UNIT
     return cw if cw * _MAX_CARRY_DEN <= w * _MAX_CARRY_NUM else w
 
@@ -233,7 +238,13 @@ def _kernel_s1(
         ).reshape(t_tile, h_tile, w_out, C)
     else:
         y = acc
-    o_ref[0] = _zero_junk_w(y, wo_true, w_out).astype(o_ref.dtype)
+    y = _zero_junk_w(y, wo_true, w_out)
+    if o_ref.shape[3] < w_out:
+        # exact-width store: slicing the W8-wide result in XLA afterwards
+        # runs at gather speed (tile-misaligned slice relays out the whole
+        # operand); a masked narrow store costs nothing extra
+        y = jax.lax.slice(y, (0, 0, 0, 0), y.shape[:2] + (o_ref.shape[3], C))
+    o_ref[0] = y.astype(o_ref.dtype)
 
 
 def _kernel_strided(
@@ -317,7 +328,10 @@ def _kernel_strided(
         ).reshape(t_tile, h_tile, w_out, C)
     else:
         y = acc
-    o_ref[0] = _zero_junk_w(y, wo_true, w_out).astype(o_ref.dtype)
+    y = _zero_junk_w(y, wo_true, w_out)
+    if o_ref.shape[3] < w_out:
+        y = jax.lax.slice(y, (0, 0, 0, 0), y.shape[:2] + (o_ref.shape[3], C))
+    o_ref[0] = y.astype(o_ref.dtype)
 
 
 def _pick_tiles_strided(To, Ho, Wq, w_out, s, C, kernel, itemsize):
@@ -471,9 +485,12 @@ def _forward(x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim,
     extra = {}
     if not interpret and _S1_COMPILER_PARAMS is not None:
         extra["compiler_params"] = _S1_COMPILER_PARAMS
+    out_w = W8 if carry else Wo   # exact widths store natively (masked
+    #                               narrow stores; an XLA slice afterwards
+    #                               ran at gather speed)
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((B, To, Ho, W8, C), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, To, Ho, out_w, C), x.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -490,13 +507,11 @@ def _forward(x, kernel_w, ln_scale, ln_bias, kernel, stride, head_dim,
             pl.BlockSpec((1, C), lambda b, t, h: (0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, t_tile, h_tile, W8, C), lambda b, t, h: (b, t, h, 0, 0)
+            (1, t_tile, h_tile, out_w, C), lambda b, t, h: (b, t, h, 0, 0)
         ),
         interpret=interpret,
         **extra,
     )(xp, kf, s_mat, st_mat, ls, lb)
-    if W8 != Wo and not carry:
-        out = out[:, :, :, :Wo, :]
     return out
 
 
@@ -582,9 +597,10 @@ def _forward_strided(x, kernel_w, ln_scale, ln_bias, kernel, s, head_dim,
             ),
             lambda b, t, h: (b, t * t_tile, h * h_tile, 0, 0, 0),
         )
+    out_w = W8 if carry else Wo
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((B, To, Ho, W8, C), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, To, Ho, out_w, C), x.dtype),
         grid=grid,
         in_specs=[
             x_spec,
@@ -595,12 +611,10 @@ def _forward_strided(x, kernel_w, ln_scale, ln_bias, kernel, s, head_dim,
             pl.BlockSpec((1, C), lambda b, t, h: (0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, t_tile, h_tile, W8, C), lambda b, t, h: (b, t, h, 0, 0)
+            (1, t_tile, h_tile, out_w, C), lambda b, t, h: (b, t, h, 0, 0)
         ),
         interpret=interpret,
     )(xp, kf, s_mat, st_mat, ls, lb)
-    if W8 != Wo and not carry:
-        out = out[:, :, :, :Wo, :]
     return out
 
 
@@ -728,7 +742,12 @@ def _kernel_strided_max(
                 acc = jnp.maximum(acc, tap)
     # W8-carry: junk output columns would otherwise be -inf (all-pad
     # windows) and poison downstream arithmetic — zero them in VMEM
-    o_ref[0] = _zero_junk_w(acc, wo_true, w_out).astype(o_ref.dtype)
+    acc = _zero_junk_w(acc, wo_true, w_out)
+    if o_ref.shape[3] < w_out:
+        acc = jax.lax.slice(
+            acc, (0, 0, 0, 0), acc.shape[:2] + (o_ref.shape[3], C)
+        )
+    o_ref[0] = acc.astype(o_ref.dtype)
 
 
 def _forward_strided_max(x, kernel, s: int, interpret: bool,
@@ -792,18 +811,17 @@ def _forward_strided_max(x, kernel, s: int, interpret: bool,
             ),
             lambda b, t, h: (b, t * t_tile, h * h_tile, 0, 0, 0),
         )
+    out_w = W8 if carry else Wo
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((B, To, Ho, W8, C), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, To, Ho, out_w, C), x.dtype),
         grid=grid,
         in_specs=[x_spec],
         out_specs=pl.BlockSpec(
-            (1, t_tile, h_tile, W8, C), lambda b, t, h: (b, t, h, 0, 0)
+            (1, t_tile, h_tile, out_w, C), lambda b, t, h: (b, t, h, 0, 0)
         ),
         interpret=interpret,
     )(xp)
-    if W8 != Wo and not carry:
-        out = out[:, :, :, :Wo, :]
     return out
 
 
