@@ -82,7 +82,7 @@ def main():
     cfg = get_cfg()
     cfg.merge_from_file(os.path.join(REPO, "configs", "ssv2.yaml"))
     assert_and_infer_cfg(cfg)
-    cfg.LOG_PERIOD = 10  # the shipped recipe's log cadence
+    cfg.LOG_PERIOD = int(os.environ.get("SVIT_ENGINE_LOG_PERIOD", "10"))
 
     model, arch = build_model(cfg)
     loss_obj = get_loss_func(cfg)
