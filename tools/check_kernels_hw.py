@@ -103,7 +103,11 @@ def _forward_outputs(model, params, x):
             mutable=["intermediates"],
         )
         (block_out,) = state["intermediates"][last_block]["__call__"]
-        (grid, _extras), _thw = block_out
+        (grid, _extras), thw = block_out
+        # W-carry: the Pallas path's grid may ride wider than the true
+        # token width (junk columns by contract) — compare the true region
+        if grid.shape[3] > thw[2]:
+            grid = grid[:, :, :, : thw[2]]
         return {
             "raw_logits": extra["raw_logits"],
             "pred_bboxes": extra["pred_bboxes"],
