@@ -16,7 +16,7 @@ hardware:
 The reference's analogue is simply that its whole train loop runs on its
 device by construction (``/root/reference/tools/train_net.py:466-620``).
 
-Writes the result to ``HW_TRAIN_r04.json`` at the repo root (consumed by
+Writes the result to ``HW_TRAIN_r05.json`` at the repo root (consumed by
 docs/ROADMAP.md and the judge).
 """
 
@@ -161,7 +161,7 @@ def main():
         "wall_s": round(time.time() - t0, 1),
         "log": log_path,
     }
-    with open(os.path.join(REPO, "HW_TRAIN_r04.json"), "w") as f:
+    with open(os.path.join(REPO, "HW_TRAIN_r05.json"), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result, indent=1), flush=True)
     assert resumed and converged, result
